@@ -1,0 +1,40 @@
+"""SparkSession factory with the engine's tuned defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "batukh-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """local[N] session tuned for Arrow-heavy extraction workloads.
+
+    On a real cluster the master/deploy settings come from spark-submit;
+    everything set here is cluster-safe (AQE, Arrow batch sizing, UTC).
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # big Arrow batches amortize the JVM<->Python crossing for the
+        # fused extraction kernel (SURVEY §4: one serialization round-trip)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        b = b.master(f"local[{cores}]")
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
