@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship fused extraction over a deterministic synthetic
+                  transcript corpus at sf0.001 scale.
+queries()       — one entry per implemented operator family from
+                  SURVEY.md §2 (see batukh_spark/queries.py for the
+                  operator-id mapping).
+oracle_sql()    — DuckDB-equivalent SQL per query; omitted only for the
+                  custom extraction kernels (stdlib HTML tokenizer /
+                  XY-cut), which the driver checks rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full main-content extraction pipeline."""
+    from batukh_spark.queries import extract_transcripts
+    return extract_transcripts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from batukh_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def bind(fn):
+        return lambda spark, sf_dir: fn(spark, sf_dir)
+
+    return {name: bind(fn) for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from batukh_spark.queries import QUERIES
+    return {name: sql for name, (_fn, sql) in QUERIES.items()
+            if sql is not None}

@@ -1,0 +1,145 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents
+table.  Everything runs as Catalyst expressions (md5, transform,
+array_min, aggregate) so it stays JVM-side and is reproducible by the
+DuckDB oracle; the only shuffles are the semantically required groupBys /
+self-joins, which scale by key.
+
+At 100 TB: exact dedup shuffles one 32-byte hash + doc_id per row;
+MinHash signatures are computed scan-local (no shuffle), LSH banding
+shuffles (band_id, band_hash) pairs — both orders of magnitude smaller
+than the text.  AQE handles banding skew (a hot bucket = near-dup
+cluster); pair emission per bucket is quadratic in bucket size, which is
+bounded by band width choice, and candidate verification happens on the
+signature (already tiny), not the text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from batukh_spark.operators.text import tokens_col, word_shingles
+
+N_HASHES = 16          # minhash signature length
+N_BANDS = 4            # LSH bands (4 rows/band): ~Jaccard>0.5 candidates
+SIMHASH_BITS = 32      # simhash width (one md5 hex char per 4 bits)
+
+
+def canonical_text(c: Column) -> Column:
+    """Whitespace-collapsed lowercase — the dedup normalization."""
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup by md5 of canonical text; keeps min id per group.
+
+    Returns (text_hash, keep_id, n_dups).  Shuffles only (hash, id).
+    """
+    return (docs
+            .select(F.md5(canonical_text(F.col(text_col)))
+                    .alias("text_hash"), F.col(id_col))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      n_hashes: int = N_HASHES) -> DataFrame:
+    """(id, sig: array<string>) — sig[s] = min over shingles of
+    md5('s:' || shingle).  Lexicographic min over hex == uniform min-hash;
+    identical in DuckDB.  Scan-local: zero shuffle."""
+    sh = word_shingles(tokens_col(text_col))
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(
+            sh, lambda g: F.md5(F.concat(s.cast("string"), F.lit(":"), g)))))
+    # docs with < k tokens have no shingles -> null mins; drop them
+    return docs.select(F.col(id_col), sig.alias("sig")) \
+        .filter(F.col("sig").getItem(0).isNotNull())
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        n_hashes: int = N_HASHES,
+                        n_bands: int = N_BANDS) -> DataFrame:
+    """MinHash-LSH near-dup candidates: (id_a, id_b, n_shared_bands).
+
+    band_hash = md5(concat of the band's signature rows); docs sharing any
+    band bucket become a candidate pair.  The self-join shuffles only
+    (band_id, band_hash, id).
+    """
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signature(docs, id_col, text_col, n_hashes)
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col("sig").getItem(b * rows_per_band + r)
+                 for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)))
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"))
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (left.join(right,
+                      (F.col(f"a.band_id") == F.col("b.band_id"))
+                      & (F.col(f"a.band_hash") == F.col("b.band_hash"))
+                      & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash: string of '0'/'1') — bit j votes +1 when the j-th hex
+    char of md5(token) is >= '8'.  One md5 per token yields 32 bits."""
+    toks = tokens_col(text_col)
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    bit_votes = F.transform(
+        F.sequence(F.lit(1), F.lit(bits)),
+        lambda j: F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.substring(h, j.cast("int"), F.lit(1))
+                .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1)))
+    sig = F.concat_ws("", F.transform(
+        bit_votes, lambda v: F.when(v > 0, "1").otherwise("0")))
+    return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two '0'/'1' signature strings."""
+    idx = F.sequence(F.lit(1), F.lit(bits))
+    return F.aggregate(
+        idx, F.lit(0),
+        lambda acc, j: acc + F.when(
+            F.substring(a, j.cast("int"), F.lit(1))
+            != F.substring(b, j.cast("int"), F.lit(1)), 1).otherwise(0))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3) -> DataFrame:
+    """Jaccard similarity over distinct k-word shingles for given
+    (id_a, id_b) pairs.  Join ships only the shingle arrays."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokens_col(text_col), k))
+        .alias("sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+    return (pairs
+            .join(a, pairs.id_a == F.col(f"sa.{id_col}"))
+            .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
+            .select("id_a", "id_b",
+                    F.when(union > 0, inter / union).otherwise(0.0)
+                    .alias("jaccard")))

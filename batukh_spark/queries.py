@@ -1,0 +1,662 @@
+"""Driver-harness query registry (SURVEY §2 coverage).
+
+Each entry couples a Spark DataFrame builder `(spark, sf_dir) -> DataFrame`
+with an equivalent ANSI-SQL string for the DuckDB oracle over the same
+parquet tables.  Column names AND types are aligned pairwise (driver
+hashes values after sorting columns by name).  Hash-bearing queries use
+md5/sha256, which both engines produce identically; float aggregates are
+rounded in BOTH engines.
+
+SURVEY §2 operator ids are noted per query (S=scan, P=predicate,
+K=segmentation, Q=sequence, A=aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batukh_spark.operators import dedup, similarity, textstats
+from batukh_spark.operators.text import tokens_col
+
+_TABLES = ("region nation customer supplier part orders lineitem events "
+           "documents embeddings").split()
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational core (SURVEY §2.5/§2.6: A1-A7, joins, windows)
+
+def q1_pricing_summary(spark, sf):
+    # A1/A2/A3: grouped running aggregates
+    li = t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+Q1_SQL = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          as sum_qty,
+       round(sum(l_extendedprice), 2)                     as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  as sum_disc_price,
+       round(avg(l_quantity), 4)                          as avg_qty,
+       count(*)                                           as count_order
+from lineitem group by l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf):
+    # broadcast dim join + agg + global top-k (TakeOrdered, no full sort)
+    cust = t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+Q3_SQL = """
+select o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join orders   on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+group by o_orderkey
+order by revenue desc, o_orderkey asc limit 10
+"""
+
+
+def q5_nation_revenue(spark, sf):
+    # multi-join: region->nation->customer->orders->lineitem; small dims
+    # broadcast, fact joins shuffle on keys
+    region = t(spark, sf, "region")
+    nation = t(spark, sf, "nation")
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+Q5_SQL = """
+select r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name, n_name
+"""
+
+
+def top3_orders_per_cust(spark, sf):
+    # K8 analogue: per-group top-k via ranking window
+    orders = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"), "rn"))
+
+
+TOP3_SQL = """
+select o_custkey, o_orderkey, round(o_totalprice, 2) as o_totalprice, rn
+from (select o_custkey, o_orderkey, o_totalprice,
+             row_number() over (partition by o_custkey
+                                order by o_totalprice desc, o_orderkey asc)
+               as rn
+      from orders) where rn <= 3
+"""
+
+
+def latest_event_per_user(spark, sf):
+    # S12/A6 analogue: latest checkpoint by (ts, id) per key
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id",
+                    F.col("event_type").alias("last_event_type"),
+                    F.col("event_id").alias("last_event_id")))
+
+
+LATEST_EVENT_SQL = """
+select user_id, event_type as last_event_type, event_id as last_event_id
+from (select *, row_number() over (partition by user_id
+                                   order by ts desc, event_id desc) as rn
+      from events) where rn = 1
+"""
+
+
+def orphan_customers(spark, sf):
+    # S8/S9 intent: referential-integrity anti-join
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+            .select("c_custkey"))
+
+
+ORPHAN_SQL = """
+select c_custkey from customer
+where c_custkey not in (select o_custkey from orders where o_custkey is not null)
+"""
+
+
+def adjacent_dedup_events(spark, sf):
+    # Q7 merge-repeated analogue: drop adjacent duplicate event types
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("prev_type", F.lag("event_type").over(w))
+            .filter(~F.col("event_type").eqNullSafe(F.col("prev_type")))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_kept")))
+
+
+ADJ_DEDUP_SQL = """
+select user_id, count(*) as n_kept
+from (select user_id, event_type,
+             lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as prev_type
+      from events)
+where event_type is distinct from prev_type
+group by user_id
+"""
+
+
+def sessionize_events(spark, sf):
+    # Q2 sequential-state analogue: gap-based sessionization
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet naive timestamps read as TIMESTAMP_NTZ; epoch-seconds via
+    # a utc-timestamp hop (session TZ pinned to UTC) matches duckdb epoch()
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    return (ev.withColumn("new_sess",
+                          F.when(gap.isNull() | (gap > 3600), 1)
+                          .otherwise(0))
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions")))
+
+
+SESSIONIZE_SQL = """
+select user_id, sum(new_sess) as n_sessions
+from (select user_id,
+             case when lag(ts) over w is null
+                       or epoch(ts) - epoch(lag(ts) over w) > 3600
+                  then 1 else 0 end as new_sess
+      from events window w as (partition by user_id order by ts, event_id))
+group by user_id
+"""
+
+
+def vocab_stats(spark, sf):
+    # A7: distinct-token vocabulary over the corpus
+    docs = t(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("tok"))
+    return toks.agg(
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.min("tok").alias("min_token"),
+        F.max("tok").alias("max_token"))
+
+
+VOCAB_SQL = r"""
+select count(distinct tok) as n_distinct_tokens,
+       min(tok) as min_token, max(tok) as max_token
+from (select unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) as tok
+      from documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction semantics checkable in SQL (P5/Q8 canonicalization contract)
+
+def extract_plain_canonical(spark, sf):
+    docs = t(spark, sf, "documents")
+    canon = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id", canon.alias("canonical_text"),
+        F.length(canon).cast("long").alias("n_chars_canonical"))
+
+
+CANON_SQL = r"""
+select doc_id,
+       regexp_replace(trim(text), '\s+', ' ', 'g') as canonical_text,
+       length(regexp_replace(trim(text), '\s+', ' ', 'g')) as n_chars_canonical
+from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup operators
+
+def dedup_exact_q(spark, sf):
+    return dedup.exact_dedup(t(spark, sf, "documents"))
+
+
+DEDUP_EXACT_SQL = r"""
+select md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) as text_hash,
+       min(doc_id) as keep_id, count(*) as n_dups
+from documents group by 1
+"""
+
+_SH_CTE = r"""
+with toks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from documents
+), sh as (
+  select doc_id,
+         case when len(tokens) >= 3 then
+           list_transform(generate_series(1, len(tokens) - 2),
+                          i -> tokens[i] || ' ' || tokens[i+1] || ' '
+                               || tokens[i+2])
+         else [] end as shingles
+  from toks
+)
+"""
+
+
+def minhash_lsh_pairs_q(spark, sf):
+    return dedup.lsh_candidate_pairs(t(spark, sf, "documents"))
+
+
+MINHASH_LSH_SQL = _SH_CTE + """
+, sig as (
+  select doc_id,
+         list_transform(generate_series(0, 15),
+            s -> list_min(list_transform(shingles,
+                   g -> md5(s::varchar || ':' || g)))) as sig
+  from sh where len(shingles) > 0
+), bands as (
+  select doc_id, b as band_id,
+         md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|'
+             || sig[b*4+4]) as band_hash
+  from sig cross join unnest([0, 1, 2, 3]) as u(b)
+)
+select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_shared_bands
+from bands a
+join bands b on a.band_id = b.band_id and a.band_hash = b.band_hash
+            and a.doc_id < b.doc_id
+group by 1, 2
+"""
+
+
+def ngram_jaccard_adjacent(spark, sf):
+    docs = t(spark, sf, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 1).alias("id_b"))
+    out = dedup.ngram_jaccard_pairs(docs, pairs)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+NGRAM_JACCARD_SQL = _SH_CTE + """
+, dsh as (select doc_id, list_distinct(shingles) as sh from sh)
+select a.doc_id as id_a, b.doc_id as id_b,
+       round(case when len(a.sh) + len(b.sh) = 0 then 0
+             else len(list_filter(a.sh, x -> list_contains(b.sh, x)))::double
+                  / (len(a.sh) + len(b.sh)
+                     - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+             end, 6) as jaccard
+from dsh a join dsh b on b.doc_id = a.doc_id + 1
+"""
+
+
+def simhash_adjacent_hamming(spark, sf):
+    docs = t(spark, sf, "documents")
+    sigs = dedup.simhash(docs)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    dedup.hamming(F.col("a.simhash"), F.col("b.simhash"))
+                    .cast("long").alias("hamming")))
+
+
+SIMHASH_SQL = r"""
+with toks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from documents
+), sigs as (
+  select doc_id,
+         list_aggregate(
+           list_transform(generate_series(1, 32), j ->
+             case when list_sum(list_transform(tokens, t ->
+                    case when substr(md5(t), j, 1) in
+                         ('8','9','a','b','c','d','e','f')
+                    then 1 else -1 end)) > 0
+             then '1' else '0' end), 'string_agg', '') as simhash
+  from toks
+)
+select a.doc_id as id_a, b.doc_id as id_b,
+       list_sum(list_transform(generate_series(1, 32), j ->
+         case when substr(a.simhash, j, 1) <> substr(b.simhash, j, 1)
+         then 1 else 0 end)) as hamming
+from sigs a join sigs b on b.doc_id = a.doc_id + 1
+"""
+
+
+def fingerprint_winnow(spark, sf):
+    out = textstats.fingerprint(t(spark, sf, "documents"))
+    return out.select("doc_id",
+                      F.col("n_grams").cast("long").alias("n_grams"),
+                      F.col("n_fingerprints").cast("long")
+                      .alias("n_fingerprints"),
+                      "fp_min")
+
+
+FINGERPRINT_SQL = """
+with grams as (
+  select doc_id,
+         case when length(text) >= 8 then
+           list_transform(generate_series(1, length(text) - 7),
+                          i -> md5(substr(text, i, 8)))
+         else [] end as grams
+  from documents
+), winnow as (
+  select doc_id, len(grams) as n_grams,
+         case when len(grams) >= 4 then
+           list_distinct(list_transform(generate_series(1, len(grams) - 3),
+                          j -> list_min(grams[j:j+3])))
+         else list_distinct(grams) end as mins
+  from grams
+)
+select doc_id, n_grams, len(mins) as n_fingerprints,
+       list_min(mins) as fp_min
+from winnow
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def cosine_topk_q(spark, sf):
+    return similarity.cosine_topk(t(spark, sf, "embeddings"), query_id=0,
+                                  k=10)
+
+
+COSINE_TOPK_SQL = """
+with q as (select embedding::double[] as qvec from embeddings where vec_id = 0)
+select vec_id,
+       round(
+         list_sum(list_transform(generate_series(1, len(e)),
+                                 i -> e[i] * qvec[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(e)),
+                                         i -> e[i] * e[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(qvec)),
+                                           i -> qvec[i] * qvec[i])))), 6)
+         as cos_sim
+from (select vec_id, embedding::double[] as e from embeddings
+      where vec_id <> 0) cross join q
+order by cos_sim desc, vec_id asc limit 10
+"""
+
+
+def ivf_cluster_sizes(spark, sf):
+    assign = similarity.assign_ivf_clusters(t(spark, sf, "embeddings"))
+    return (assign.groupBy(F.col("cluster").cast("long").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+IVF_SQL = """
+with cents as (
+  select list(embedding::double[] order by vec_id) as cv
+  from embeddings where vec_id < 8
+), sims as (
+  select vec_id,
+         list_transform(cv, c ->
+           round(
+             list_sum(list_transform(generate_series(1, len(e)),
+                                     i -> e[i] * c[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(e)),
+                                             i -> e[i] * e[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, len(c)),
+                                               i -> c[i] * c[i])))), 9))
+           as sims
+  from (select vec_id, embedding::double[] as e from embeddings)
+       cross join cents
+)
+select list_position(sims, list_max(sims)) - 1 as cluster, count(*) as n
+from sims group by 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+def token_counts_q(spark, sf):
+    out = textstats.token_counts(t(spark, sf, "documents"))
+    return out.select("doc_id",
+                      F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+                      F.col("n_bpe_tokens").cast("long")
+                      .alias("n_bpe_tokens"),
+                      F.col("n_chars").cast("long").alias("n_chars"))
+
+
+TOKEN_COUNTS_SQL = r"""
+select doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) as n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         as n_bpe_tokens,
+       length(text) as n_chars
+from documents
+"""
+
+
+def quality_score_q(spark, sf):
+    out = textstats.quality_score(t(spark, sf, "documents"))
+    return out.select("doc_id",
+                      F.col("n_words").cast("long").alias("n_words"),
+                      "mean_word_len", "stopword_ratio", "quality")
+
+
+QUALITY_SQL = r"""
+with toks as (
+  select doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') as tokens
+  from documents
+), s as (
+  select doc_id, len(tokens) as n_words,
+         case when len(tokens) > 0 then
+           list_sum(list_transform(tokens, t -> length(t))) / len(tokens)
+         else 0.0 end as mean_word_len,
+         case when len(tokens) > 0 then
+           len(list_filter(tokens, t -> list_contains(
+             ['the','and','of','to','a','in','is','that'], t)))
+           / len(tokens)
+         else 0.0 end as stop_ratio
+  from toks
+)
+select doc_id, n_words,
+       round(mean_word_len, 4) as mean_word_len,
+       round(stop_ratio, 4) as stopword_ratio,
+       round(0.4 * least(n_words / 100.0, 1.0)
+             + 0.3 * case when stop_ratio >= 0.01 and stop_ratio <= 0.6
+                     then 1.0 else 0.0 end
+             + 0.3 * case when mean_word_len >= 3.0 and mean_word_len <= 12.0
+                     then 1.0 else 0.0 end, 4) as quality
+from s
+"""
+
+
+def lang_id_q(spark, sf):
+    out = textstats.lang_id(t(spark, sf, "documents"))
+    return out.select("doc_id", "pred_lang",
+                      F.col("hits").cast("long").alias("hits"))
+
+
+_PROFILE_SQL = {
+    "de": "['der','die','und','das','ist','nicht','ein','zu']",
+    "en": "['the','and','of','to','a','in','is','that']",
+    "es": "['el','la','de','que','y','en','un','es']",
+    "fr": "['le','la','et','les','des','est','un','une']",
+    "zh": "['的','是','不','了','在','人','有','我']",
+}
+
+LANG_ID_SQL = r"""
+with toks as (
+  select doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') as tokens
+  from documents
+), h as (
+  select doc_id,
+         len(list_filter(tokens, t -> list_contains({de}, t))) as h_de,
+         len(list_filter(tokens, t -> list_contains({en}, t))) as h_en,
+         len(list_filter(tokens, t -> list_contains({es}, t))) as h_es,
+         len(list_filter(tokens, t -> list_contains({fr}, t))) as h_fr,
+         len(list_filter(tokens, t -> list_contains({zh}, t))) as h_zh
+  from toks
+)
+select doc_id,
+       case when h_de >= h_en and h_de >= h_es and h_de >= h_fr
+                 and h_de >= h_zh then 'de'
+            when h_en >= h_es and h_en >= h_fr and h_en >= h_zh then 'en'
+            when h_es >= h_fr and h_es >= h_zh then 'es'
+            when h_fr >= h_zh then 'fr'
+            else 'zh' end as pred_lang,
+       greatest(h_de, h_en, h_es, h_fr, h_zh) as hits
+from h
+""".format(**_PROFILE_SQL)
+
+
+def media_features_q(spark, sf):
+    from batukh_spark.operators.multimodal import (extract_features,
+                                                   synthesize_media)
+    media = synthesize_media(spark, t(spark, sf, "documents"))
+    feats = extract_features(media)
+    return feats.select("media_id", "kind",
+                        F.col("n_bytes").cast("long").alias("n_bytes"),
+                        "checksum")
+
+
+MEDIA_SQL = """
+select doc_id as media_id, 'image' as kind,
+       octet_length(encode(text)) as n_bytes,
+       substr(sha256(text), 1, 16) as checksum
+from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction flagship + rows-only ops (no SQL equivalent: custom kernels)
+
+def extract_transcripts(spark, sf):
+    """Flagship: full fused extraction over a deterministic synthetic
+    transcript corpus (the sf dir has no transcripts table; corpus scale
+    keyed off the dir name is stable per sf)."""
+    from batukh_spark import kernels
+    from batukh_spark.corpus import make_transcripts
+
+    n_convs = 400 if sf.rstrip("/").endswith("0.01") else 120
+    df = make_transcripts(spark, n_convs, mega_every=97, mega_turns=300)
+    out = df.repartition(32, "conv_id") \
+        .sortWithinPartitions("conv_id", "turn_idx") \
+        .mapInArrow(
+            kernels.extract_turns_batches,
+            schema=kernels.extracted_schema_sql(
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp"))
+    return out.select("conv_id", "turn_idx", "role", "family", "n_blocks",
+                      "n_kept", "extracted_text")
+
+
+def html_block_kinds(spark, sf):
+    """K3/K5: block-type classification histogram over synthetic corpus
+    HTML payloads (rows-only check: stdlib tokenizer not SQL-expressible)."""
+    from batukh_spark import kernels
+    from batukh_spark.corpus import make_transcripts
+    df = make_transcripts(spark, 150)
+    blocks = df.select(
+        kernels.detect_family_udf("text").alias("family"),
+        kernels.html_blocks_udf("text").alias("blocks")) \
+        .filter(F.col("family") == "html")
+    return (blocks.select(F.explode("blocks").alias("b"))
+            .groupBy(F.col("b.kind").alias("kind"),
+                     F.col("b.keep").alias("keep"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("b.score"), 4).alias("avg_density"),
+                 F.round(F.avg("b.link_density"), 4)
+                 .alias("avg_link_density")))
+
+
+def pdf_xycut_lines(spark, sf):
+    """K6/K9: XY-cut line detection stats over synthetic PDF payloads
+    (rows-only)."""
+    from batukh_spark import kernels
+    from batukh_spark.corpus import make_transcripts
+    df = make_transcripts(spark, 150)
+    out = df.mapInArrow(
+        kernels.extract_turns_batches,
+        schema=kernels.extracted_schema_sql(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"))
+    return (out.filter(F.col("family") == "pdf_layout")
+            .groupBy("role")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.sum("n_kept").alias("n_lines"),
+                 F.round(F.avg("n_kept"), 4).alias("avg_lines_per_turn")))
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "top3_orders_per_cust": (top3_orders_per_cust, TOP3_SQL),
+    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
+    "orphan_customers": (orphan_customers, ORPHAN_SQL),
+    "adjacent_dedup_events": (adjacent_dedup_events, ADJ_DEDUP_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "vocab_stats": (vocab_stats, VOCAB_SQL),
+    "extract_plain_canonical": (extract_plain_canonical, CANON_SQL),
+    "dedup_exact": (dedup_exact_q, DEDUP_EXACT_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs_q, MINHASH_LSH_SQL),
+    "ngram_jaccard_adjacent": (ngram_jaccard_adjacent, NGRAM_JACCARD_SQL),
+    "simhash_adjacent_hamming": (simhash_adjacent_hamming, SIMHASH_SQL),
+    "fingerprint_winnow": (fingerprint_winnow, FINGERPRINT_SQL),
+    "cosine_topk": (cosine_topk_q, COSINE_TOPK_SQL),
+    "ivf_cluster_sizes": (ivf_cluster_sizes, IVF_SQL),
+    "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
+    "quality_score": (quality_score_q, QUALITY_SQL),
+    "lang_id": (lang_id_q, LANG_ID_SQL),
+    "media_features": (media_features_q, MEDIA_SQL),
+    # rows-only (custom kernels, not SQL-expressible)
+    "extract_transcripts": (extract_transcripts, None),
+    "html_block_kinds": (html_block_kinds, None),
+    "pdf_xycut_lines": (pdf_xycut_lines, None),
+}

@@ -1,0 +1,153 @@
+"""Operator unit tests (dedup / similarity / textstats / multimodal).
+
+Cross-engine equality with DuckDB is exercised exhaustively by
+tools/check_queries.py (mirrors the driver gate); these tests pin the
+operator SEMANTICS on small hand-built inputs.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from batukh_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (2, "THE  Quick   brown fox jumps over the lazy dog"),  # canon dup
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different words about spark engines here"),
+        (5, "ab"),  # too short for shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.text_hash: r for r in dedup.exact_dedup(docs).collect()}
+    assert len(out) == 4  # 0/1/2 collapse, 3, 4, 5
+    groups = sorted((r.n_dups, r.keep_id) for r in out.values())
+    assert groups == [(1, 3), (1, 4), (1, 5), (3, 0)]
+
+
+def test_minhash_identical_docs_share_all_bands(docs):
+    pairs = {(r.id_a, r.id_b): r.n_shared_bands
+             for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert pairs[(0, 1)] == dedup.N_BANDS           # identical text
+    assert pairs[(0, 2)] == dedup.N_BANDS           # canonical-equal tokens
+    assert (4, 5) not in pairs and (0, 4) not in pairs
+
+
+def test_simhash_and_hamming(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == dedup.SIMHASH_BITS
+    assert set(sigs[0]) <= {"0", "1"}
+    # near-dup hamming < far hamming
+    df = spark.createDataFrame(
+        [(sigs[0], sigs[3], "near"), (sigs[0], sigs[4], "far")],
+        "a string, b string, tag string")
+    d = {r.tag: r.h for r in df.select(
+        "tag", dedup.hamming(F.col("a"), F.col("b")).alias("h")).collect()}
+    assert d["near"] < d["far"]
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 3), (0, 4)],
+                                  "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.0 < out[(0, 3)] < 1.0
+    assert out[(0, 4)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, v))
+    # vec 30 = exact copy of vec 9 -> must be 9's top neighbour
+    rows[30] = (30, rows[9][1][:])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_vs_numpy(emb):
+    import numpy as np
+    rows = {r.vec_id: np.array(r.embedding, dtype="float32").astype("f8")
+            for r in emb.collect()}
+    q = rows[9]
+    want = sorted(
+        ((float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q))), i)
+         for i, v in rows.items() if i != 9),
+        key=lambda t: (-round(t[0], 6), t[1]))[:5]
+    got = similarity.cosine_topk(emb, query_id=9, k=5).collect()
+    assert [r.vec_id for r in got] == [i for _, i in want]
+    assert got[0].vec_id == 30 and got[0].cos_sim == 1.0
+    for r, (w, _) in zip(got, want):
+        assert math.isclose(r.cos_sim, round(w, 6), abs_tol=1e-6)
+
+
+def test_ivf_assignment_and_pruned_search(emb):
+    assign = {r.vec_id: r.cluster
+              for r in similarity.assign_ivf_clusters(emb).collect()}
+    for c in range(8):  # each centroid belongs to its own cluster
+        assert assign[c] == c
+    assert assign[30] == assign[9]  # identical vectors, same cluster
+    got = similarity.ivf_topk(emb, query_id=9, k=3).collect()
+    assert got[0].vec_id == 30  # exact copy found within the cluster
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello world, 42 times!")],
+                               "doc_id long, text string")
+    r = textstats.token_counts(df).collect()[0]
+    assert r.n_ws_tokens == 4
+    # Hello world , 42 times !  -> 6 BPE-ish pieces
+    assert r.n_bpe_tokens == 6
+    assert r.n_chars == 22
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog went to the house in the garden"),
+         (2, "der hund und die katze ist nicht ein problem"),
+         (3, "xx")],
+        "doc_id long, text string")
+    q = {r.doc_id: r for r in textstats.quality_score(df).collect()}
+    assert q[1].stopword_ratio > 0.3
+    assert q[1].quality > q[3].quality
+    langs = {r.doc_id: r.pred_lang for r in textstats.lang_id(df).collect()}
+    assert langs[1] == "en"
+    assert langs[2] == "de"
+
+
+def test_fingerprint_winnow(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnop"), (3, "short")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.fingerprint(df).collect()}
+    assert out[1].n_grams == 9
+    assert out[1].fp_min == out[2].fp_min  # identical docs, same sketch
+    assert out[1].n_fingerprints <= out[1].n_grams  # winnowing compresses
+    assert out[3].n_grams == 0
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.synthesize_media(spark, docs)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == docs.count()
+    by_id = {r.media_id: r for r in feats}
+    assert len(by_id[0].feat) == 8
+    assert all(0.0 <= v <= 1.0 for v in by_id[0].feat)
+    # identical payloads -> identical checksum + features (deterministic)
+    assert by_id[0].checksum == by_id[1].checksum
+    assert by_id[0].feat == by_id[1].feat
+    assert by_id[0].n_bytes == len(
+        "the quick brown fox jumps over the lazy dog".encode())
