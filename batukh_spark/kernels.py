@@ -143,31 +143,67 @@ EXTRA_SCHEMA_SQL = (
     "spans array<struct<start:int,end:int,kind:string>>, error string")
 
 
-def extract_turns_batches(
-        batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """RecordBatch -> RecordBatch: passthrough input columns + extraction
-    output columns.  ONE Python crossing for the whole pipeline."""
-    for batch in batches:
-        names = batch.schema.names
-        texts = batch.column(names.index("text")).to_pylist()
-        roles = (batch.column(names.index("role")).to_pylist()
-                 if "role" in names else None)
-        tools = (batch.column(names.index("tool")).to_pylist()
-                 if "tool" in names else None)
-        cols = _extract_cols(texts, roles, tools)
-        arrays = list(batch.columns)
-        fields = list(batch.schema)
-        arrays += [
-            pa.array(cols["family"], pa.string()),
-            pa.array(cols["extracted_text"], pa.string()),
-            pa.array(cols["n_blocks"], pa.int32()),
-            pa.array(cols["n_kept"], pa.int32()),
-            pa.array(cols["spans"], _SPAN_TYPE),
-            pa.array(cols["error"], pa.string()),
-        ]
-        fields += EXTRA_FIELDS
-        yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+def make_extract_kernel(keep_text: bool = False):
+    """Build the fused mapInArrow kernel.
+
+    keep_text=False (production default) drops the raw `text` column from
+    the OUTPUT batches, replacing it with `text_nbytes:int` (manifests
+    need bytes_in).  Profiling showed the JVM side — not Python — is the
+    throughput bottleneck at 32 workers (workers idle ~50% waiting for
+    input); echoing the payload back through Arrow IPC + parquet write
+    roughly doubles that JVM volume for a column the extracted table
+    doesn't need (readers re-join on (conv_id, turn_idx))."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+        for batch in batches:
+            names = batch.schema.names
+            ti = names.index("text")
+            text_arr = batch.column(ti)
+            texts = text_arr.to_pylist()
+            roles = (batch.column(names.index("role")).to_pylist()
+                     if "role" in names else None)
+            tools = (batch.column(names.index("tool")).to_pylist()
+                     if "tool" in names else None)
+            cols = _extract_cols(texts, roles, tools)
+            arrays, fields = [], []
+            for i, f in enumerate(batch.schema):
+                if i == ti and not keep_text:
+                    continue
+                arrays.append(batch.column(i))
+                fields.append(f)
+            if not keep_text:
+                arrays.append(pc.cast(pc.binary_length(text_arr),
+                                      pa.int32()))
+                fields.append(pa.field("text_nbytes", pa.int32()))
+            arrays += [
+                pa.array(cols["family"], pa.string()),
+                pa.array(cols["extracted_text"], pa.string()),
+                pa.array(cols["n_blocks"], pa.int32()),
+                pa.array(cols["n_kept"], pa.int32()),
+                pa.array(cols["spans"], _SPAN_TYPE),
+                pa.array(cols["error"], pa.string()),
+            ]
+            fields += EXTRA_FIELDS
+            yield pa.RecordBatch.from_arrays(arrays,
+                                             schema=pa.schema(fields))
+
+    return kernel
+
+
+# production kernel (drops text, adds text_nbytes)
+extract_turns_lean = make_extract_kernel(keep_text=False)
+# test/debug kernel (echoes text through)
+extract_turns_batches = make_extract_kernel(keep_text=True)
 
 
 def extracted_schema_sql(input_schema_sql: str) -> str:
+    """Output schema for the keep_text kernel."""
     return input_schema_sql + ", " + EXTRA_SCHEMA_SQL
+
+
+def lean_schema_sql(input_schema_sql_without_text: str) -> str:
+    """Output schema for the lean kernel: caller passes the input schema
+    MINUS the text column (order preserved otherwise)."""
+    return (input_schema_sql_without_text + ", text_nbytes int, "
+            + EXTRA_SCHEMA_SQL)

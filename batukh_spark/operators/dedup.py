@@ -51,16 +51,22 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
                       n_hashes: int = N_HASHES) -> DataFrame:
     """(id, sig: array<string>) — sig[s] = min over shingles of
     md5('s:' || shingle).  Lexicographic min over hex == uniform min-hash;
-    identical in DuckDB.  Scan-local: zero shuffle."""
+    identical in DuckDB.
+
+    Implemented as explode -> n_hashes codegen'd md5 columns -> groupBy
+    min.  Nested higher-order lambdas (transform-of-transform) would be
+    INTERPRETED per element (~100x slower); this shape keeps every md5
+    inside whole-stage codegen, and the groupBy gets map-side partial
+    mins, so the shuffle carries only n_hashes * 32 bytes per doc.
+    Docs with < k tokens have no shingles and drop out (explode)."""
     sh = word_shingles(tokens_col(text_col))
-    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(F.transform(
-            sh, lambda g: F.md5(F.concat(s.cast("string"), F.lit(":"), g)))))
-    # docs with < k tokens have no shingles -> null mins; drop them
-    return docs.select(F.col(id_col), sig.alias("sig")) \
-        .filter(F.col("sig").getItem(0).isNotNull())
+    exploded = docs.select(F.col(id_col), F.explode(sh).alias("g"))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g"))))
+            .alias(f"h{s}") for s in range(n_hashes)]
+    return (exploded.groupBy(id_col).agg(*aggs)
+            .select(F.col(id_col),
+                    F.array(*[F.col(f"h{s}")
+                              for s in range(n_hashes)]).alias("sig")))
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -74,6 +80,9 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     (band_id, band_hash, id).
     """
     rows_per_band = n_hashes // n_bands
+    # the groupBy inside minhash_signature ends in an exchange on id_col;
+    # the self-join's two sides share that identical subplan, so
+    # ReuseExchange computes signatures exactly once per row
     sigs = minhash_signature(docs, id_col, text_col, n_hashes)
     band_cols = []
     for b in range(n_bands):

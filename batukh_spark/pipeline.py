@@ -1,12 +1,21 @@
 """The full extraction job (SURVEY §3 lifecycle, §7 step 5).
 
-    read transcripts                                [scan: pruned to 6 cols]
+Two physical modes behind one API (`run_extraction`):
+
+FILES mode (default for path/table sources) — Iceberg-style planning:
+    plan input files -> anti-join 'done' units     [driver-side]
+      -> scan ONLY pending files                   [zero pre-kernel shuffle]
+      -> mapInArrow(fused extraction kernel)       [ONE Python crossing]
+      -> sortWithinPartitions(conv_id, turn_idx)   [on the lean output]
+      -> append parquet; append per-unit manifest rows
+
+SHUFFLE mode (DataFrame sources / conv-bucketed output):
+    read transcripts                               [scan: pruned to 6 cols]
       -> unit = pmod(xxhash64(conv_id, turn_idx//CHUNK), n_units)
-                                                    [salted work-unit id]
+                                                   [salted work-unit id]
       -> resume? anti-join units already 'done' in the manifest
-      -> repartition(n_units, unit)                 [one shuffle]
-      -> sortWithinPartitions(conv_id, turn_idx)    [stable turn ordering]
-      -> mapInArrow(fused extraction kernel)        [ONE Python crossing]
+      -> repartition(n_units, unit)                [one aligning shuffle]
+      -> mapInArrow(fused kernel) -> sortWithinPartitions
       -> write extracted, partitionBy(unit), dynamic overwrite
       -> append per-unit manifest rows (from the WRITTEN data)
 
@@ -47,8 +56,9 @@ from batukh_spark.sources import io as bio
 CHUNK_TURNS = 512
 
 _INPUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-_INPUT_SCHEMA_SQL = ("conv_id string, turn_idx int, role string, "
-                     "text string, tool string, ts timestamp, unit int")
+# lean kernel output: text replaced by text_nbytes (see kernels.py)
+_OUT_SCHEMA_SQL = ("conv_id string, turn_idx int, role string, "
+                   "tool string, ts timestamp, unit int")
 
 STATUS_DONE = "done"
 
@@ -63,15 +73,149 @@ def with_unit(df: DataFrame, n_units: int) -> DataFrame:
                F.lit(n_units)).cast("int"))
 
 
+def file_units(spark: SparkSession, source: str):
+    """Iceberg-style work-unit plan: one unit per input data file.
+
+    Returns (files_df with columns path/unit).  Unit identity is the
+    xxhash64 of the file URI — stable across runs and cluster sizes, and
+    the exact analogue of Iceberg's incremental file-scan planning.
+    """
+    all_files = spark.read.parquet(source).inputFiles()
+    files_df = spark.createDataFrame([(f,) for f in sorted(all_files)],
+                                     "path string")
+    return files_df.select(
+        "path",
+        F.pmod(F.xxhash64("path"), F.lit(1 << 31)).cast("int").alias("unit"))
+
+
+def run_extraction_files(spark: SparkSession, source: str, output: str,
+                         metrics: str | None = None,
+                         run_id: str | None = None,
+                         resume: bool = False) -> dict:
+    """Shuffle-free extraction: work unit = input file (SURVEY §3).
+
+        plan files -> anti-join 'done' units  [driver-side, like Iceberg
+                                               snapshot planning]
+        -> scan ONLY pending files -> mapInArrow(fused kernel)
+        -> sortWithinPartitions -> APPEND parquet
+        -> append per-unit manifest rows
+
+    Zero pre-kernel exchange: at 10^12 turns the input arrives as
+    millions of parquet/Iceberg data files, so file granularity is both
+    the natural resume unit and the natural parallelism unit (Spark
+    still splits oversized files across tasks via maxPartitionBytes —
+    that only sub-divides a unit's compute, never merges units' commit
+    scope, because the manifest is derived from the unit column).
+    A failed job's partial task files stay under the committer's
+    _temporary dir and are invisible to readers, so append + job-commit
+    keeps resume exactly-once at unit granularity."""
+    t0 = time.time()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    units = file_units(spark, source)
+
+    done_units = None
+    if resume and metrics:
+        prior = bio.read_manifest(spark, metrics)
+        if prior is not None:
+            done_units = (prior.filter(F.col("status") == STATUS_DONE)
+                          .select("unit").distinct())
+            units = units.join(F.broadcast(done_units), "unit", "left_anti")
+    pending = [r.path for r in units.select("path").collect()]
+    summary = {"run_id": run_id, "mode": "files",
+               "resumed": bool(resume and done_units is not None),
+               "units_total": None, "units_completed": 0}
+    if not pending:
+        summary["wall_s"] = time.time() - t0
+        return summary
+
+    df = (spark.read.parquet(*pending)
+          .select(*_INPUT_COLS)
+          .withColumn("unit",
+                      F.pmod(F.xxhash64(F.input_file_name()),
+                             F.lit(1 << 31)).cast("int"))
+          .select(*_INPUT_COLS, "unit"))
+    extracted = (
+        df.mapInArrow(kernels.extract_turns_lean,
+                      schema=kernels.lean_schema_sql(_OUT_SCHEMA_SQL))
+          .sortWithinPartitions("conv_id", "turn_idx"))
+    extracted.write.mode("append").parquet(output)
+
+    if metrics:
+        spark.catalog.refreshByPath(output)  # drop stale listing cache
+        written = spark.read.parquet(output)
+        prev = None
+        if metrics:
+            prev = bio.read_manifest(spark, metrics)
+        if prev is not None:
+            done_before = (prev.filter(F.col("status") == STATUS_DONE)
+                           .select("unit").distinct())
+            written = written.join(F.broadcast(done_before), "unit",
+                                   "left_anti")
+        manifest = _build_manifest(written, run_id, t0)
+        bio.append_manifest(manifest, metrics)
+        summary["units_completed"] = _written_unit_count(spark, metrics,
+                                                         run_id)
+    summary["wall_s"] = time.time() - t0
+    return summary
+
+
+def _written_unit_count(spark: SparkSession, metrics: str,
+                        run_id: str) -> int:
+    """Count committed units by reading back the (tiny) manifest table —
+    re-counting the manifest DataFrame would re-execute its whole
+    aggregation DAG over the extracted output a second time."""
+    try:
+        spark.catalog.refreshByPath(metrics)
+    except Exception:
+        pass
+    m = bio.read_manifest(spark, metrics)
+    return m.filter(F.col("run_id") == run_id).count() if m is not None else 0
+
+
+def _build_manifest(written: DataFrame, run_id: str, t0: float) -> DataFrame:
+    return (
+        written.groupBy("unit").agg(
+            F.min("conv_id").alias("conv_id_min"),
+            F.max("conv_id").alias("conv_id_max"),
+            F.count(F.lit(1)).alias("rows_in"),
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum("text_nbytes").alias("bytes_in"),
+            F.sum(F.when(F.col("error").isNotNull(), 1)
+                  .otherwise(0)).cast("long").alias("n_errors"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
+        .withColumn("status", F.lit(STATUS_DONE))
+        .withColumn("ts", F.current_timestamp())
+        .select("run_id", "unit", "conv_id_min", "conv_id_max",
+                "rows_in", "rows_out", "bytes_in", "n_errors",
+                "wall_ms", "status", "ts"))
+
+
 def run_extraction(spark: SparkSession, source: str | DataFrame,
                    output: str, metrics: str | None = None,
                    run_id: str | None = None, n_units: int | None = None,
-                   resume: bool = False) -> dict:
-    """Run (or resume) the extraction job; returns a summary dict."""
+                   resume: bool = False, mode: str = "auto") -> dict:
+    """Run (or resume) the extraction job; returns a summary dict.
+
+    mode="files" (shuffle-free, unit = input file) is used whenever the
+    source is a path/table; mode="shuffle" (unit = salted conv hash,
+    one aligning exchange) is the fallback for DataFrame sources such as
+    a freshly synthesized corpus, and for callers that want conv-bucketed
+    output dirs."""
+    if mode == "auto":
+        mode = "shuffle" if isinstance(source, DataFrame) else "files"
+    if mode == "files":
+        return run_extraction_files(spark, source, output, metrics=metrics,
+                                    run_id=run_id, resume=resume)
     t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:12]
+    # 8x over-decomposition: hash-partitioning unit ids onto tasks leaves
+    # a few tasks holding 2-3 units (balls-into-bins); with many waves per
+    # core the stragglers amortize, without the extra sampling scan that
+    # repartitionByRange would spend on 100 TB of input
     n_units = n_units or max(
-        32, spark.sparkContext.defaultParallelism * 4)
+        32, spark.sparkContext.defaultParallelism * 8)
 
     df = (source if isinstance(source, DataFrame)
           else bio.read_transcripts(spark, source))
@@ -91,11 +235,16 @@ def run_extraction(spark: SparkSession, source: str | DataFrame,
     # desync the batch layout from the declared mapInArrow schema
     df = df.select(*_INPUT_COLS, "unit")
 
+    # one shuffle aligns units to tasks (so each task writes into few
+    # unit dirs); the ordering sort runs AFTER the kernel, on the lean
+    # extracted rows (~half the bytes of the input payloads) — profiling
+    # showed the JVM side is the feed bottleneck for 32 workers, so JVM
+    # work ahead of the kernel is minimized
     extracted = (
         df.repartition(n_units, "unit")
+          .mapInArrow(kernels.extract_turns_lean,
+                      schema=kernels.lean_schema_sql(_OUT_SCHEMA_SQL))
           .sortWithinPartitions("conv_id", "turn_idx")
-          .mapInArrow(kernels.extract_turns_batches,
-                      schema=kernels.extracted_schema_sql(_INPUT_SCHEMA_SQL))
     )
 
     bio.write_extracted(extracted, output, partition_col="unit")
@@ -108,27 +257,10 @@ def run_extraction(spark: SparkSession, source: str | DataFrame,
         if done_units is not None:
             written = written.join(F.broadcast(done_units), "unit",
                                    "left_anti")
-        manifest = (
-            written.groupBy("unit").agg(
-                F.min("conv_id").alias("conv_id_min"),
-                F.max("conv_id").alias("conv_id_max"),
-                F.count(F.lit(1)).alias("rows_in"),
-                F.count(F.lit(1)).alias("rows_out"),
-                F.sum(F.octet_length("text")).alias("bytes_in"),
-                F.sum(F.when(F.col("error").isNotNull(), 1)
-                      .otherwise(0)).cast("long").alias("n_errors"),
-            )
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("wall_ms",
-                        F.lit(int((time.time() - t0) * 1000)))
-            .withColumn("status", F.lit(STATUS_DONE))
-            .withColumn("ts", F.current_timestamp())
-            .select("run_id", "unit", "conv_id_min", "conv_id_max",
-                    "rows_in", "rows_out", "bytes_in", "n_errors",
-                    "wall_ms", "status", "ts")
-        )
+        manifest = _build_manifest(written, run_id, t0)
         bio.append_manifest(manifest, metrics)
-        summary["units_completed"] = manifest.count()
+        summary["units_completed"] = _written_unit_count(spark, metrics,
+                                                         run_id)
     summary["wall_s"] = time.time() - t0
     return summary
 

@@ -27,6 +27,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + round-robin repartition to all cores.
+
+    The testdata tables are single parquet files -> a single input split;
+    expression-heavy per-row operators (minhash/simhash/winnowing run as
+    interpreted higher-order functions) would otherwise execute on ONE
+    core.  At real scale inputs arrive in many splits and this is a no-op
+    decision; the tiny shuffle is the price of core saturation here."""
+    return t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # relational core (SURVEY §2.5/§2.6: A1-A7, joins, windows)
 
@@ -259,7 +271,7 @@ from documents
 # dedup operators
 
 def dedup_exact_q(spark, sf):
-    return dedup.exact_dedup(t(spark, sf, "documents"))
+    return dedup.exact_dedup(t_spread(spark, sf, "documents"))
 
 
 DEDUP_EXACT_SQL = r"""
@@ -287,7 +299,7 @@ with toks as (
 
 
 def minhash_lsh_pairs_q(spark, sf):
-    return dedup.lsh_candidate_pairs(t(spark, sf, "documents"))
+    return dedup.lsh_candidate_pairs(t_spread(spark, sf, "documents"))
 
 
 MINHASH_LSH_SQL = _SH_CTE + """
@@ -312,7 +324,7 @@ group by 1, 2
 
 
 def ngram_jaccard_adjacent(spark, sf):
-    docs = t(spark, sf, "documents")
+    docs = t_spread(spark, sf, "documents")
     pairs = docs.select(F.col("doc_id").alias("id_a"),
                         (F.col("doc_id") + 1).alias("id_b"))
     out = dedup.ngram_jaccard_pairs(docs, pairs)
@@ -332,7 +344,7 @@ from dsh a join dsh b on b.doc_id = a.doc_id + 1
 
 
 def simhash_adjacent_hamming(spark, sf):
-    docs = t(spark, sf, "documents")
+    docs = t_spread(spark, sf, "documents")
     sigs = dedup.simhash(docs)
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -369,7 +381,7 @@ from sigs a join sigs b on b.doc_id = a.doc_id + 1
 
 
 def fingerprint_winnow(spark, sf):
-    out = textstats.fingerprint(t(spark, sf, "documents"))
+    out = textstats.fingerprint(t_spread(spark, sf, "documents"))
     return out.select("doc_id",
                       F.col("n_grams").cast("long").alias("n_grams"),
                       F.col("n_fingerprints").cast("long")
@@ -457,7 +469,7 @@ from sims group by 1
 # text analysis
 
 def token_counts_q(spark, sf):
-    out = textstats.token_counts(t(spark, sf, "documents"))
+    out = textstats.token_counts(t_spread(spark, sf, "documents"))
     return out.select("doc_id",
                       F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
                       F.col("n_bpe_tokens").cast("long")
@@ -477,7 +489,7 @@ from documents
 
 
 def quality_score_q(spark, sf):
-    out = textstats.quality_score(t(spark, sf, "documents"))
+    out = textstats.quality_score(t_spread(spark, sf, "documents"))
     return out.select("doc_id",
                       F.col("n_words").cast("long").alias("n_words"),
                       "mean_word_len", "stopword_ratio", "quality")
@@ -513,7 +525,7 @@ from s
 
 
 def lang_id_q(spark, sf):
-    out = textstats.lang_id(t(spark, sf, "documents"))
+    out = textstats.lang_id(t_spread(spark, sf, "documents"))
     return out.select("doc_id", "pred_lang",
                       F.col("hits").cast("long").alias("hits"))
 

@@ -26,8 +26,11 @@ def get_spark(app_name: str = "batukh-spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # big Arrow batches amortize the JVM<->Python crossing for the
-        # fused extraction kernel (SURVEY §4: one serialization round-trip)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # fused extraction kernel (SURVEY §4: one serialization round-trip).
+        # measured: 40k-row batches double kernel throughput vs 10k
+        # (~56 MB/batch at ~1.4 KB/turn; sized to stay far under executor
+        # memory at 32 concurrent workers)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "40000")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -1,0 +1,133 @@
+"""Benchmark runner (driver contract: prints ONE JSON line).
+
+Times the headline extraction job (turns/sec over a deterministic
+synthetic transcript corpus — the BASELINE.md metric) plus the operator
+query suite at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BATUKH_BENCH_CONVS   corpus size in conversations (default 18000,
+                       ~250k turns); corpus parquet is generated once and
+                       cached under /tmp keyed by size+seed
+  BATUKH_BENCH_MODE    "all" (default) | "extract" (headline only —
+                       used by BENCH/scaling.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("BATUKH_BENCH_CONVS", "18000"))
+MODE = os.environ.get("BATUKH_BENCH_MODE", "all")
+SEED = 42
+
+BENCH_QUERIES = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+    "top3_orders_per_cust", "sessionize_events", "dedup_exact",
+    "minhash_lsh_pairs", "simhash_adjacent_hamming", "fingerprint_winnow",
+    "token_counts", "quality_score", "lang_id", "cosine_topk",
+    "ivf_cluster_sizes", "media_features",
+]
+
+
+def corpus_path() -> str:
+    return f"/tmp/batukh_bench_corpus_n{N_CONVS}_s{SEED}"
+
+
+def ensure_corpus(spark) -> str:
+    path = corpus_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from batukh_spark.corpus import make_transcripts
+        make_transcripts(spark, N_CONVS, seed=SEED) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_extraction(spark) -> dict:
+    """Headline: the REAL file-mode pipeline (scan -> fused kernel ->
+    sorted append write -> per-unit manifest) over the cached corpus."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from batukh_spark import kernels, pipeline
+
+    path = ensure_corpus(spark)
+    df = spark.read.parquet(path)
+    # warmup: spawn+import the python workers so the timed run measures
+    # steady-state throughput, not process startup
+    df.limit(2000).mapInArrow(
+        kernels.extract_turns_lean,
+        schema=kernels.lean_schema_sql(
+            "conv_id string, turn_idx int, role string, tool string, "
+            "ts timestamp")).count()
+
+    workdir = tempfile.mkdtemp(prefix="batukh_bench_out_")
+    try:
+        t0 = time.time()
+        pipeline.run_extraction(
+            spark, path, f"{workdir}/out", metrics=f"{workdir}/metrics",
+            run_id="bench", mode="files")
+        wall = time.time() - t0
+        agg = (spark.read.parquet(f"{workdir}/out")
+               .agg(F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.length("extracted_text")).alias("chars"),
+                    F.sum(F.when(F.col("error").isNotNull(), 1)
+                          .otherwise(0)).alias("errors")).collect()[0])
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return {"turns": agg.rows, "wall_s": round(wall, 3),
+            "turns_per_sec": round(agg.rows / wall, 1),
+            "extracted_chars": int(agg.chars), "errors": int(agg.errors),
+            "cpus": CPUS, "n_convs": N_CONVS}
+
+
+def main() -> int:
+    from batukh_spark.session import get_spark
+    spark = get_spark(app_name="batukh-bench", cores=CPUS,
+                      shuffle_partitions=CPUS * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        queries: dict[str, float] = {}
+        t_suite0 = time.time()
+
+        ext = bench_extraction(spark)
+        queries["extract_transcripts"] = ext["wall_s"]
+
+        if MODE == "all":
+            from batukh_spark.queries import QUERIES
+            for name in BENCH_QUERIES:
+                fn, _sql = QUERIES[name]
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                queries[name] = round(time.time() - t0, 3)
+                _ = n
+
+        total = round(time.time() - t_suite0, 3)
+        result = {
+            "metric": "bench_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            # headline engine metric (BASELINE.md): extracted turns/sec
+            "turns_per_sec": ext["turns_per_sec"],
+            "extraction": ext,
+        }
+        print(json.dumps(result))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
