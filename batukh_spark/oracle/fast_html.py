@@ -1,0 +1,213 @@
+"""Fast single-pass regex HTML tokenizer (drop-in for html_extract).
+
+Produces the same Block stream as the HTMLParser-based tokenizer
+(html_extract._BlockTokenizer) on well-formed and common-malformed
+markup; byte-equality on the committed goldens plus a fuzz differential
+test (tests/test_fast_html.py) pin the behavior.  Exists because the
+stdlib parser's generic callback machinery was ~55% of HTML-family
+oracle time and the oracle rate bounds the whole engine's per-core
+throughput.
+
+Scanner rules (deliberately simple, deterministic):
+  <!-- ... -->          comment (unterminated: to EOF)
+  <!DECL> / <?PI>       skipped
+  <script>/<style>/...  raw-text mode until the matching close tag
+  </tag ...>            end tag
+  <tag attr=... [/]>    start tag (only the class attribute is read)
+  &name; &#n; &#xh;     entity/char refs decoded
+  anything else         text
+
+Offsets are absolute from the start; no line/col bookkeeping needed.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+
+from batukh_spark.oracle import constants as C
+from batukh_spark.oracle.blocks import Block, finalize_block
+from batukh_spark.oracle.canonical import canonicalize
+
+_VOID_TAGS = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+})
+
+# master scanner: ordered alternatives, leftmost-longest within each
+_TOKEN_RE = re.compile(r"""
+    (?P<comment><!--.*?(?:-->|$))
+  | (?P<decl><![^>]*>?)
+  | (?P<pi><\?[^>]*>?)
+  | (?P<endtag></\s*(?P<etag>[a-zA-Z][a-zA-Z0-9._:-]*)[^>]*>)
+  | (?P<starttag><(?P<stag>[a-zA-Z][a-zA-Z0-9._:-]*)
+        (?P<attrs>(?:[^>"']|"[^"]*"|'[^']*')*)
+        >)
+  | (?P<charref>&\#(?:[0-9]+|[xX][0-9a-fA-F]+);)
+  | (?P<entityref>&[a-zA-Z][a-zA-Z0-9]*;)
+  | (?P<text>[^<&]+)
+  | (?P<stray>[<&])
+""", re.VERBOSE | re.DOTALL)
+
+_CLASS_RE = re.compile(
+    r"""\bclass\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
+
+
+class _Ctx:
+    """Tokenizer context shared with no inheritance overhead."""
+
+    __slots__ = ("blocks", "stack", "n_skip", "n_boiler", "n_code",
+                 "n_tool", "n_anchor", "parts", "anchor_parts", "b_start",
+                 "b_end", "b_kind", "b_path", "b_structural", "block_tag")
+
+    def __init__(self):
+        self.blocks: list[Block] = []
+        # stack entries: (tag, skip, boiler, code, tool, anchor)
+        self.stack: list[tuple] = []
+        self.n_skip = 0
+        self.n_boiler = 0
+        self.n_code = 0
+        self.n_tool = 0
+        self.n_anchor = 0
+        self.parts: list[str] = []
+        self.anchor_parts: list[str] = []
+        self.b_start = -1
+        self.b_end = -1
+        self.b_kind = None
+        self.b_path = ""
+        self.b_structural = False
+        self.block_tag = None
+
+
+def _flush(ctx: _Ctx) -> None:
+    if ctx.b_start >= 0:
+        anchor_len = len(canonicalize("".join(ctx.anchor_parts)))
+        b = finalize_block(ctx.parts, anchor_len, ctx.b_start, ctx.b_end,
+                           ctx.b_kind or C.KIND_CONTENT, ctx.b_path,
+                           ctx.b_structural)
+        if b is not None:
+            ctx.blocks.append(b)
+    ctx.parts = []
+    ctx.anchor_parts = []
+    ctx.b_start = -1
+    ctx.b_end = -1
+    ctx.b_kind = None
+
+
+def _append_text(ctx: _Ctx, decoded: str, raw_start: int,
+                 raw_len: int) -> None:
+    if ctx.n_skip:
+        return
+    if ctx.b_start < 0:
+        ctx.b_start = raw_start
+        ctx.b_path = "/".join(f[0] for f in ctx.stack)
+        ctx.b_structural = ctx.n_boiler > 0
+        if ctx.n_tool:
+            ctx.b_kind = C.KIND_TOOL
+        elif ctx.n_code:
+            ctx.b_kind = C.KIND_CODE
+        elif ctx.block_tag in C.HEADING_TAGS:
+            ctx.b_kind = C.KIND_HEADING
+        else:
+            ctx.b_kind = C.KIND_CONTENT
+    ctx.b_end = raw_start + raw_len
+    ctx.parts.append(decoded)
+    if ctx.n_anchor:
+        ctx.anchor_parts.append(decoded)
+
+
+def _pop_from(ctx: _Ctx, i: int) -> None:
+    for f in ctx.stack[i:]:
+        ctx.n_skip -= f[1]
+        ctx.n_boiler -= f[2]
+        ctx.n_code -= f[3]
+        ctx.n_tool -= f[4]
+        ctx.n_anchor -= f[5]
+    del ctx.stack[i:]
+
+
+def _close_tag(ctx: _Ctx, tag: str) -> None:
+    if tag in _VOID_TAGS:
+        return
+    if tag in C.BLOCK_TAGS:
+        _flush(ctx)
+    for i in range(len(ctx.stack) - 1, -1, -1):
+        if ctx.stack[i][0] == tag:
+            _pop_from(ctx, i)
+            break
+    ctx.block_tag = next(
+        (f[0] for f in reversed(ctx.stack) if f[0] in C.BLOCK_TAGS), None)
+
+
+def tokenize_html_fast(raw: str) -> list[Block]:
+    ctx = _Ctx()
+    pos = 0
+    n = len(raw)
+    scan = _TOKEN_RE.match
+    rawtext_until: str | None = None  # inside <script>/<style>/...: tag name
+    while pos < n:
+        if rawtext_until is not None:
+            # raw-text mode: content is skipped wholesale; find close tag
+            m = re.compile(rf"</\s*{rawtext_until}[^>]*>",
+                           re.IGNORECASE).search(raw, pos)
+            if m is None:
+                break  # unterminated script/style: rest is skipped
+            _close_tag(ctx, rawtext_until)
+            pos = m.end()
+            rawtext_until = None
+            continue
+        m = scan(raw, pos)
+        if m is None:  # cannot happen (stray covers < and &) — safety
+            break
+        kind = m.lastgroup
+        if kind == "text" or kind == "stray":
+            _append_text(ctx, m.group(), pos, m.end() - pos)
+        elif kind == "starttag":
+            tag = m.group("stag").lower()
+            if tag == "br":
+                ctx.parts.append("\n")
+            elif tag not in _VOID_TAGS:
+                attrs = m.group("attrs") or ""
+                is_tool = False
+                if "class" in attrs or "CLASS" in attrs or "Class" in attrs:
+                    cm = _CLASS_RE.search(attrs)
+                    if cm:
+                        cls = (cm.group(1) or cm.group(2)
+                               or cm.group(3) or "").lower()
+                        is_tool = C.TOOL_CLASS_MARKER in cls
+                self_closing = attrs.rstrip().endswith("/")
+                if tag in C.BLOCK_TAGS:
+                    _flush(ctx)
+                    ctx.block_tag = tag
+                if not self_closing:
+                    frame = (tag, tag in C.SKIP_TAGS,
+                             tag in C.BOILERPLATE_TAGS, tag in C.CODE_TAGS,
+                             is_tool, tag == "a")
+                    ctx.stack.append(frame)
+                    ctx.n_skip += frame[1]
+                    ctx.n_boiler += frame[2]
+                    ctx.n_code += frame[3]
+                    ctx.n_tool += frame[4]
+                    ctx.n_anchor += frame[5]
+                    if tag in C.SKIP_TAGS and tag in ("script", "style"):
+                        rawtext_until = tag
+            elif tag == "hr" and tag in C.BLOCK_TAGS:
+                _flush(ctx)
+        elif kind == "endtag":
+            _close_tag(ctx, m.group("etag").lower())
+        elif kind == "entityref":
+            decoded = _htmlmod.unescape(m.group())
+            _append_text(ctx, decoded, pos, m.end() - pos)
+        elif kind == "charref":
+            body = m.group()[2:-1]
+            try:
+                cp = int(body[1:], 16) if body[0] in "xX" else int(body)
+                decoded = chr(cp)
+            except (ValueError, OverflowError):
+                decoded = ""
+            if decoded:
+                _append_text(ctx, decoded, pos, m.end() - pos)
+        # comment / decl / pi: skipped
+        pos = m.end()
+    _flush(ctx)
+    return ctx.blocks

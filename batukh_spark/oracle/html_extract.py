@@ -60,6 +60,13 @@ class _BlockTokenizer(HTMLParser):
             idx = raw.find("\n", idx + 1)
         self.blocks: list[Block] = []
         self._stack: list[_Frame] = []
+        # depth counters mirror the stack flags (profiling: any() scans
+        # over the stack were ~20% of tokenizer time); semantics identical
+        self._n_skip = 0
+        self._n_boiler = 0
+        self._n_code = 0
+        self._n_tool = 0
+        self._n_anchor = 0
         # current block accumulation
         self._parts: list[str] = []
         self._anchor_parts: list[str] = []
@@ -78,8 +85,22 @@ class _BlockTokenizer(HTMLParser):
 
     # -- context flags ------------------------------------------------------
 
-    def _flag(self, name: str) -> bool:
-        return any(getattr(f, name) for f in self._stack)
+    def _push(self, frame: _Frame) -> None:
+        self._stack.append(frame)
+        self._n_skip += frame.skip
+        self._n_boiler += frame.boiler
+        self._n_code += frame.code
+        self._n_tool += frame.tool
+        self._n_anchor += frame.anchor
+
+    def _pop_from(self, i: int) -> None:
+        for f in self._stack[i:]:
+            self._n_skip -= f.skip
+            self._n_boiler -= f.boiler
+            self._n_code -= f.code
+            self._n_tool -= f.tool
+            self._n_anchor -= f.anchor
+        del self._stack[i:]
 
     # -- block lifecycle ----------------------------------------------------
 
@@ -98,16 +119,16 @@ class _BlockTokenizer(HTMLParser):
         self._b_kind = None
 
     def _append_text(self, decoded: str, raw_start: int, raw_len: int) -> None:
-        if self._flag("skip"):
+        if self._n_skip:
             return
         if self._b_start < 0:
             # lazily open a block; capture context at first segment
             self._b_start = raw_start
             self._b_path = "/".join(f.tag for f in self._stack)
-            self._b_structural = self._flag("boiler")
-            if self._flag("tool"):
+            self._b_structural = self._n_boiler > 0
+            if self._n_tool:
                 self._b_kind = C.KIND_TOOL
-            elif self._flag("code"):
+            elif self._n_code:
                 self._b_kind = C.KIND_CODE
             elif self._block_tag in C.HEADING_TAGS:
                 self._b_kind = C.KIND_HEADING
@@ -115,7 +136,7 @@ class _BlockTokenizer(HTMLParser):
                 self._b_kind = C.KIND_CONTENT
         self._b_end = raw_start + raw_len
         self._parts.append(decoded)
-        if self._flag("anchor"):
+        if self._n_anchor:
             self._anchor_parts.append(decoded)
 
     # -- HTMLParser callbacks -----------------------------------------------
@@ -143,7 +164,7 @@ class _BlockTokenizer(HTMLParser):
         if tag in C.BLOCK_TAGS:
             self._flush()
             self._block_tag = tag
-        self._stack.append(frame)
+        self._push(frame)
 
     def handle_startendtag(self, tag, attrs):
         tag = tag.lower()
@@ -161,7 +182,7 @@ class _BlockTokenizer(HTMLParser):
         # tolerant pop: stray close tags with no matching open are ignored
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i].tag == tag:
-                del self._stack[i:]
+                self._pop_from(i)
                 break
         self._block_tag = next(
             (f.tag for f in reversed(self._stack) if f.tag in C.BLOCK_TAGS),
@@ -193,8 +214,9 @@ class _BlockTokenizer(HTMLParser):
         self._flush()
 
 
-def tokenize_html(raw: str) -> list[Block]:
-    """raw HTML (document or fragment) → ordered list of Blocks."""
+def tokenize_html_reference(raw: str) -> list[Block]:
+    """html.parser-based tokenizer — kept as the differential-test
+    reference for the fast scanner (tests/test_fast_html.py)."""
     tok = _BlockTokenizer(raw)
     try:
         tok.feed(raw)
@@ -205,3 +227,15 @@ def tokenize_html(raw: str) -> list[Block]:
         # the caller instead of silently dropped).
         tok._flush()
     return tok.blocks
+
+
+def tokenize_html(raw: str) -> list[Block]:
+    """raw HTML (document or fragment) → ordered list of Blocks.
+
+    Dispatches to the single-pass regex scanner (fast_html.py), ~2x the
+    stdlib-parser path; behavior pinned by goldens + fuzz differential."""
+    from batukh_spark.oracle.fast_html import tokenize_html_fast
+    try:
+        return tokenize_html_fast(raw)
+    except Exception:
+        return tokenize_html_reference(raw)
