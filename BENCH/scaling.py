@@ -31,21 +31,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, convs: int, runs: int) -> dict:
-    best = None
-    for _ in range(runs):
-        env = dict(os.environ,
-                   SPARK_GRAFT_CPUS=str(cpus),
-                   BATUKH_BENCH_CONVS=str(convs),
-                   BATUKH_BENCH_MODE="extract")
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=1800)
-        line = out.stdout.strip().splitlines()[-1]
-        res = json.loads(line)["extraction"]
-        if best is None or res["turns_per_sec"] > best["turns_per_sec"]:
-            best = res
-    return best
+def run_once(cpus: int, convs: int) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus),
+               BATUKH_BENCH_CONVS=str(convs),
+               BATUKH_BENCH_MODE="extract")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1800)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)["extraction"]
 
 
 def main():
@@ -56,12 +51,23 @@ def main():
     args = ap.parse_args()
 
     levels = [int(x) for x in args.levels.split(",")]
+    # INTERLEAVE repetitions across levels: the sandbox host's available
+    # CPU drifts on a ~10-minute scale, so sequential per-level batches
+    # would compare different "weather"; round-robin sampling + best-of-N
+    # keeps each pair comparison inside one window
     results = {}
+    for rep in range(args.runs):
+        for cpus in levels:
+            res = run_once(cpus, args.convs)
+            if cpus not in results or \
+                    res["turns_per_sec"] > results[cpus]["turns_per_sec"]:
+                results[cpus] = res
+            print(f"rep{rep} local[{cpus}]: {res['turns_per_sec']} turns/s "
+                  f"({res['wall_s']}s)", file=sys.stderr)
     for cpus in levels:
-        results[cpus] = run_level(cpus, args.convs, args.runs)
-        print(f"local[{cpus}]: {results[cpus]['turns_per_sec']} turns/s "
-              f"({results[cpus]['wall_s']}s, {results[cpus]['turns']} turns)",
-              file=sys.stderr)
+        print(f"best local[{cpus}]: {results[cpus]['turns_per_sec']} "
+              f"turns/s ({results[cpus]['wall_s']}s, "
+              f"{results[cpus]['turns']} turns)", file=sys.stderr)
 
     def eff(lo, hi):
         if lo in results and hi in results:
@@ -73,6 +79,7 @@ def main():
         "metric": "extraction_scaling",
         "corpus_turns": results[levels[0]]["turns"],
         "levels": {str(c): results[c]["turns_per_sec"] for c in levels},
+        "efficiency_1_to_4": eff(1, 4),
         "efficiency_2_to_8": eff(2, 8),
         "efficiency_8_to_32": eff(8, 32),
     }
@@ -99,8 +106,9 @@ def write_md(summary, results, convs):
         lines.append(f"| local[{c}] | {r['turns_per_sec']} | {r['wall_s']} |")
     lines += [
         "",
-        f"- scaling efficiency 2 -> 8 cores: **{summary['efficiency_2_to_8']}**",
-        f"- scaling efficiency 8 -> 32 cores: **{summary['efficiency_8_to_32']}**",
+        f"- scaling efficiency 1 -> 4 cores (N=1, 4N=4): **{summary.get('efficiency_1_to_4')}**",
+        f"- scaling efficiency 2 -> 8 cores (N=2, 4N=8): **{summary['efficiency_2_to_8']}**",
+        f"- scaling efficiency 8 -> 32 cores (N=8, 4N=32): **{summary['efficiency_8_to_32']}**",
         "",
         "## Reading the numbers",
         "",
@@ -120,9 +128,10 @@ def write_md(summary, results, convs):
         "The reference (wizmal/batukh) publishes only single-image Colab",
         "throughputs, 15-121 it/s (README.md:20-122; see BASELINE.md).",
         "Treating one transcript turn as the analogue of one document",
-        "image, the engine's single-core oracle alone (~2,500 turns/s)",
-        "exceeds the reference's best published rate by ~20x, and the",
-        "distributed pipeline multiplies that by core count.",
+        "image, the engine's single-core oracle alone (~4,300 turns/s",
+        "after the regex-scanner tokenizer) exceeds the reference's best",
+        "published rate by ~35x, and the distributed pipeline multiplies",
+        "that by core count.",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
