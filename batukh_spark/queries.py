@@ -436,6 +436,45 @@ order by cos_sim desc, vec_id asc limit 10
 """
 
 
+def cosine_near_dup_adjacent(spark, sf):
+    """Embedding-cosine near-dup flags for adjacent vec_id pairs (the
+    SQL-checkable slice of cosine near-dup dedup; the scalable all-pairs
+    path reuses lsh/ivf bucketing from operators.similarity)."""
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(similarity.cosine(F.col("a.e"), F.col("b.e")), 6)
+    return (a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    cos.alias("cos_sim"),
+                    (cos > 0.9).alias("is_near_dup")))
+
+
+COSINE_NEAR_DUP_SQL = """
+with e as (select vec_id, embedding::double[] as e from embeddings)
+select a.vec_id as id_a, b.vec_id as id_b,
+       round(
+         list_sum(list_transform(generate_series(1, len(a.e)),
+                                 i -> a.e[i] * b.e[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.e)),
+                                         i -> a.e[i] * a.e[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(b.e)),
+                                           i -> b.e[i] * b.e[i])))), 6)
+         as cos_sim,
+       round(
+         list_sum(list_transform(generate_series(1, len(a.e)),
+                                 i -> a.e[i] * b.e[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.e)),
+                                         i -> a.e[i] * a.e[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(b.e)),
+                                           i -> b.e[i] * b.e[i])))), 6)
+         > 0.9 as is_near_dup
+from e a join e b on b.vec_id = a.vec_id + 1
+"""
+
+
 def ivf_cluster_sizes(spark, sf):
     assign = similarity.assign_ivf_clusters(t(spark, sf, "embeddings"))
     return (assign.groupBy(F.col("cluster").cast("long").alias("cluster"))
@@ -662,6 +701,8 @@ QUERIES = {
     "simhash_adjacent_hamming": (simhash_adjacent_hamming, SIMHASH_SQL),
     "fingerprint_winnow": (fingerprint_winnow, FINGERPRINT_SQL),
     "cosine_topk": (cosine_topk_q, COSINE_TOPK_SQL),
+    "cosine_near_dup_adjacent": (cosine_near_dup_adjacent,
+                                 COSINE_NEAR_DUP_SQL),
     "ivf_cluster_sizes": (ivf_cluster_sizes, IVF_SQL),
     "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
     "quality_score": (quality_score_q, QUALITY_SQL),
