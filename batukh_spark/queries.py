@@ -248,6 +248,82 @@ from (select unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
 """
 
 
+def revenue_rollup(spark, sf):
+    """ROLLUP over region/nation revenue (multi-level aggregation —
+    subtotals + grand total in one pass, map-side partials per level)."""
+    base = q5_nation_revenue(spark, sf).withColumnRenamed("revenue", "rev")
+    return (base.rollup("r_name", "n_name")
+            .agg(F.round(F.sum("rev"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_groups")))
+
+
+ROLLUP_SQL = """
+with base as (
+  select r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) as rev
+  from lineitem
+  join orders on l_orderkey = o_orderkey
+  join customer on o_custkey = c_custkey
+  join nation on c_nationkey = n_nationkey
+  join region on n_regionkey = r_regionkey
+  group by r_name, n_name
+)
+select r_name, n_name, round(sum(rev), 2) as revenue,
+       count(*) as n_groups
+from base group by rollup (r_name, n_name)
+"""
+
+
+def asof_join_events(spark, sf):
+    """As-of join (Spark has no native one): for every 'click' event, the
+    most recent prior 'view' by the same user.
+
+    Implementation: union both sides tagged, one window sorted by
+    (user_id, ts, event_id) carrying last_value(view) forward — a single
+    sort-merge pass that scales as one shuffle on user_id, no per-group
+    pandas and no range-duplication blowup.  DuckDB oracle uses its
+    native ASOF JOIN.
+    """
+    ev = t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"))
+    tagged = (clicks.select("user_id",
+                            F.col("c_ts").alias("ts"),
+                            F.col("click_id").alias("eid"),
+                            F.lit(1).alias("is_click"),
+                            F.lit(None).cast("long").alias("view_id"))
+              .unionByName(
+                  views.select("user_id",
+                               F.col("v_ts").alias("ts"),
+                               F.col("view_id").alias("eid"),
+                               F.lit(0).alias("is_click"),
+                               F.col("view_id"))))
+    # views sort before clicks at the same ts ("most recent prior or
+    # simultaneous view"); ties inside a kind break by event id
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", F.asc("is_click"), "eid")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    joined = (tagged
+              .withColumn("last_view",
+                          F.last("view_id", ignorenulls=True).over(w))
+              .filter("is_click = 1")
+              .select("user_id", F.col("eid").alias("click_id"),
+                      F.col("last_view").alias("view_id")))
+    return joined
+
+
+ASOF_SQL = """
+select c.user_id, c.event_id as click_id, v.event_id as view_id
+from (select * from events where event_type = 'click') c
+asof left join (select * from events where event_type = 'view') v
+  on c.user_id = v.user_id and v.ts <= c.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # extraction semantics checkable in SQL (P5/Q8 canonicalization contract)
 
@@ -693,6 +769,8 @@ QUERIES = {
     "orphan_customers": (orphan_customers, ORPHAN_SQL),
     "adjacent_dedup_events": (adjacent_dedup_events, ADJ_DEDUP_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "revenue_rollup": (revenue_rollup, ROLLUP_SQL),
+    "asof_join_events": (asof_join_events, ASOF_SQL),
     "vocab_stats": (vocab_stats, VOCAB_SQL),
     "extract_plain_canonical": (extract_plain_canonical, CANON_SQL),
     "dedup_exact": (dedup_exact_q, DEDUP_EXACT_SQL),
