@@ -207,22 +207,24 @@ def sessionize_events(spark, sf):
     # Q2 sequential-state analogue: gap-based sessionization
     ev = t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet naive timestamps read as TIMESTAMP_NTZ; epoch-seconds via
-    # a utc-timestamp hop (session TZ pinned to UTC) matches duckdb epoch()
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
+    # microsecond epochs on BOTH sides (events.ts carries microseconds;
+    # casting to long would truncate and diverge from duckdb's fractional
+    # epoch() near the threshold)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
     return (ev.withColumn("new_sess",
-                          F.when(gap.isNull() | (gap > 3600), 1)
+                          F.when(gap.isNull() | (gap > 3600 * 1_000_000), 1)
                           .otherwise(0))
             .groupBy("user_id")
             .agg(F.sum("new_sess").alias("n_sessions")))
 
 
 SESSIONIZE_SQL = """
-select user_id, sum(new_sess) as n_sessions
+select user_id, sum(new_sess)::bigint as n_sessions
 from (select user_id,
              case when lag(ts) over w is null
-                       or epoch(ts) - epoch(lag(ts) over w) > 3600
+                       or epoch_us(ts) - epoch_us(lag(ts) over w)
+                          > 3600000000::bigint
                   then 1 else 0 end as new_sess
       from events window w as (partition by user_id order by ts, event_id))
 group by user_id
@@ -451,7 +453,7 @@ with toks as (
 select a.doc_id as id_a, b.doc_id as id_b,
        list_sum(list_transform(generate_series(1, 32), j ->
          case when substr(a.simhash, j, 1) <> substr(b.simhash, j, 1)
-         then 1 else 0 end)) as hamming
+         then 1 else 0 end))::bigint as hamming
 from sigs a join sigs b on b.doc_id = a.doc_id + 1
 """
 

@@ -53,7 +53,7 @@ EXTRACTED_SCHEMA = T.StructType(
 # /root/reference/batukh/torch/segmenter.py:313-370)
 MANIFEST_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType(), False),
-    T.StructField("bucket", T.IntegerType(), False),
+    T.StructField("unit", T.LongType(), False),
     T.StructField("conv_id_min", T.StringType(), True),
     T.StructField("conv_id_max", T.StringType(), True),
     T.StructField("rows_in", T.LongType(), False),
