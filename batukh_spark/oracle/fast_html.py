@@ -1,12 +1,15 @@
-"""Fast single-pass regex HTML tokenizer (drop-in for html_extract).
+"""THE frozen HTML tokenizer oracle: single-pass regex scanner.
 
-Produces the same Block stream as the HTMLParser-based tokenizer
-(html_extract._BlockTokenizer) on well-formed and common-malformed
-markup; byte-equality on the committed goldens plus a fuzz differential
-test (tests/test_fast_html.py) pin the behavior.  Exists because the
-stdlib parser's generic callback machinery was ~55% of HTML-family
-oracle time and the oracle rate bounds the whole engine's per-core
-throughput.
+This scanner DEFINES extraction semantics (goldens + the driver's DuckDB
+gate pin it); the HTMLParser-based tokenizer in html_extract.py is kept
+only as a differential-test aid on the well-terminated-refs input class.
+The regex scanner is the oracle rather than html.parser because (a) it is
+~2x faster and the oracle rate bounds the engine's per-core throughput,
+and (b) html.parser's recovery on malformed refs is pathological for an
+extraction oracle: it swallows all remaining markup after a bare '&#',
+invents trailing semicolons for unknown names, and silently drops '&' at
+EOF — this scanner instead follows browser-style (HTML5 text-parsing)
+recovery and never skips markup.
 
 Scanner rules (deliberately simple, deterministic):
   <!-- ... -->          comment (unterminated: to EOF)
@@ -15,6 +18,9 @@ Scanner rules (deliberately simple, deterministic):
   </tag ...>            end tag
   <tag attr=... [/]>    start tag (only the class attribute is read)
   &name; &#n; &#xh;     entity/char refs decoded
+  &#n / &#xh            semicolon-less char refs decoded (browser rule)
+  &name                 semicolon-less named refs via html.unescape's
+                        HTML5 legacy table (&amp -> '&', unknown -> raw)
   anything else         text
 
 Offsets are absolute from the start; no line/col bookkeeping needed.
@@ -44,7 +50,9 @@ _TOKEN_RE = re.compile(r"""
         (?P<attrs>(?:[^>"']|"[^"]*"|'[^']*')*)
         >)
   | (?P<charref>&\#(?:[0-9]+|[xX][0-9a-fA-F]+);)
+  | (?P<charref_ns>&\#(?:[0-9]+|[xX][0-9a-fA-F]+))
   | (?P<entityref>&[a-zA-Z][a-zA-Z0-9]*;)
+  | (?P<entityref_ns>&[a-zA-Z][a-zA-Z0-9]*)
   | (?P<text>[^<&]+)
   | (?P<stray>[<&])
 """, re.VERBOSE | re.DOTALL)
@@ -195,11 +203,14 @@ def tokenize_html_fast(raw: str) -> list[Block]:
                 _flush(ctx)
         elif kind == "endtag":
             _close_tag(ctx, m.group("etag").lower())
-        elif kind == "entityref":
+        elif kind == "entityref" or kind == "entityref_ns":
+            # unescape implements HTML5 named refs including the legacy
+            # semicolon-less table; unknown names come back verbatim
             decoded = _htmlmod.unescape(m.group())
             _append_text(ctx, decoded, pos, m.end() - pos)
-        elif kind == "charref":
-            body = m.group()[2:-1]
+        elif kind == "charref" or kind == "charref_ns":
+            body = (m.group()[2:-1] if kind == "charref"
+                    else m.group()[2:])
             try:
                 cp = int(body[1:], 16) if body[0] in "xX" else int(body)
                 decoded = chr(cp)

@@ -147,6 +147,10 @@ class _BlockTokenizer(HTMLParser):
             self._parts.append("\n")
             return
         if tag in _VOID_TAGS:
+            # bare <hr> is a block separator (HTML5); aligns with the
+            # frozen fast scanner, which flushes here too
+            if tag == "hr" and tag in C.BLOCK_TAGS:
+                self._flush()
             return
         cls = ""
         for k, v in attrs:
@@ -232,10 +236,10 @@ def tokenize_html_reference(raw: str) -> list[Block]:
 def tokenize_html(raw: str) -> list[Block]:
     """raw HTML (document or fragment) → ordered list of Blocks.
 
-    Dispatches to the single-pass regex scanner (fast_html.py), ~2x the
-    stdlib-parser path; behavior pinned by goldens + fuzz differential."""
+    The single-pass regex scanner (fast_html.py) IS the frozen oracle;
+    behavior pinned by goldens + fuzz differential.  No fallback: a
+    scanner exception must surface (silently swapping tokenizers would
+    make extraction output path-dependent and break the frozen-oracle
+    determinism contract)."""
     from batukh_spark.oracle.fast_html import tokenize_html_fast
-    try:
-        return tokenize_html_fast(raw)
-    except Exception:
-        return tokenize_html_reference(raw)
+    return tokenize_html_fast(raw)

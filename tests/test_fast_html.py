@@ -1,9 +1,14 @@
 """Differential tests: fast regex tokenizer vs html.parser reference.
 
-Contract: on golden fixtures and realistic (synthetic-corpus) payloads
-the two tokenizers are byte-identical.  On adversarial tag soup the fast
-scanner may legally diverge (the oracle DEFINES extraction semantics;
-goldens pin them) but must uphold all span/structure invariants.
+The FAST scanner is the frozen oracle (html_extract.tokenize_html calls
+it with NO fallback).  Contract: on golden fixtures, realistic
+(synthetic-corpus) payloads, and any markup whose entity/char refs are
+well-terminated, the two tokenizers are byte-identical.  On
+semicolon-less refs they legally diverge — html.parser's recovery is
+pathological there (swallows markup after bare '&#', invents trailing
+semicolons) — and the fast scanner's browser-style behavior is pinned
+explicitly by test_frozen_semantics_on_malformed_refs.  On adversarial
+tag soup the fast scanner must uphold all span/structure invariants.
 """
 
 import random
@@ -36,6 +41,44 @@ def test_fast_equals_reference_on_synthetic_corpus():
                 continue
             assert _sig(tokenize_html(tu["text"])) == \
                 _sig(tokenize_html_reference(tu["text"])), f"{c}/{ti}"
+
+
+def test_fast_equals_reference_on_wellterminated_refs():
+    """Fuzz the aligned input class: tags may be arbitrarily malformed,
+    but refs are well-terminated (or plain stray '&' / '<')."""
+    rng = random.Random(7)
+    frags = ["<p>", "</p>", "<div>", "<hr>", "<hr/>", "&amp;", "&#65;",
+             "&#x41;", "&unknown;", "w ", "x", "<a href='x'>", "</a>",
+             "<nav>", "</nav>", "<b>", "</b>", "<h2>", "</h2>", "<br>",
+             "<pre>", "</pre>", '<div class="tool">', "</div>",
+             "<!-- c -->", "<img src='x'>", "& ", "< "]
+    for _ in range(500):
+        s = "".join(rng.choice(frags) for _ in range(rng.randrange(0, 60)))
+        assert _sig(tokenize_html(s)) == _sig(tokenize_html_reference(s)), \
+            repr(s)
+
+
+def test_frozen_semantics_on_malformed_refs():
+    """Pins the frozen oracle's browser-style handling of semicolon-less
+    refs and bare <hr> (the cases where html.parser legally diverges)."""
+    cases = {
+        "<div>one two<hr>three four</div>": ["one two", "three four"],
+        "<p>Tom &amp Jerry went</p>": ["Tom & Jerry went"],
+        "<p>&#65 grade paper</p>": ["A grade paper"],
+        "<p>ends &amp</p>": ["ends &"],
+        "<p>ends &#65</p>": ["ends A"],
+        "<p>a &amp": ["a &"],
+        "<p>a &#65": ["a A"],
+        "<p>x &frac12 y</p>": ["x ½ y"],
+        "<p>x &unknown y</p>": ["x &unknown y"],  # unknown name: raw
+        "<p>x &# y</p>": ["x &# y"],              # bare &#: raw text
+    }
+    for raw, texts in cases.items():
+        got = [b.text for b in tokenize_html(raw)]
+        assert got == texts, f"{raw!r}: {got}"
+    # bare <hr> flush is aligned in BOTH tokenizers
+    raw = "<div>one two<hr>three four</div>"
+    assert _sig(tokenize_html(raw)) == _sig(tokenize_html_reference(raw))
 
 
 def test_fast_invariants_on_tag_soup():
