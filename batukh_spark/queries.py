@@ -700,63 +700,247 @@ from documents
 
 
 # ---------------------------------------------------------------------------
-# extraction flagship + rows-only ops (no SQL equivalent: custom kernels)
+# extraction flagship — REAL kernels over SQL-templated payloads, so the
+# driver's DuckDB gate can verify the whole inference path bit-for-bit
+# (K3/K5 html tokenize+classify+assemble, K6/K9 XY-cut + reading order,
+# K4 tool blocks, S4/Q8 canonicalization+assembly).  The payload for each
+# turn is a deterministic pure-SQL function of the documents table, so the
+# EXPECTED extraction is a closed form DuckDB can compute exactly; the
+# Spark side runs the actual frozen-oracle kernel (no shortcuts).
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+# whitespace-collapse matching oracle.canonical.canonicalize on this corpus
+_CANON_SQL_EXPR = r"trim(regexp_replace({col}, '\s+', ' ', 'g'))"
+
+
+def _html_payload_col():
+    """Templated HTML page: nav chrome + heading + content + footer.
+    Escaped so the tokenizer decodes back to the original text."""
+    esc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    return F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> '
+              '<a href="/a">About</a></nav><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), esc,
+        F.lit('</p><footer><a href="/">links</a> '
+              '<a href="/x">more</a></footer></body></html>'))
+
+
+def _pdf_grid_payload_col():
+    """Single-page PDF-layout JSON: word i of the canonical text at
+    column i%8, row i//8 — x-gaps (10) below XY_COL_GAP, row gaps (20)
+    above XY_ROW_GAP, so XY-cut yields exactly ceil(nw/8) lines of 8
+    words in reading order."""
+    canon = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    words = F.filter(F.split(canon, " "), lambda w: w != F.lit(""))
+    toks = F.transform(words, lambda w, i: F.struct(
+        w.alias("t"),
+        ((i % 8) * 30.0).alias("x0"),
+        (F.floor(i / 8) * 30.0).cast("double").alias("y0"),
+        ((i % 8) * 30.0 + 20.0).alias("x1"),
+        (F.floor(i / 8) * 30.0 + 10.0).cast("double").alias("y1"),
+        F.lit(0).alias("page")))
+    return F.to_json(F.struct(F.lit("pdf_layout").alias("kind"),
+                              toks.alias("tokens")))
+
+
+def _plain_tool_payload_col():
+    """Plain/tool transcript: prose line + fenced tool-output region.
+    '<' and backticks are folded so family detection and fence parsing
+    stay deterministic (same folds in the oracle SQL)."""
+    canon = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    safe = F.replace(F.replace(canon, F.lit("<"), F.lit("(")),
+                     F.lit("`"), F.lit("'"))
+    return F.concat(F.lit("RESULT ok\n\n```\n"), safe, F.lit("\n```"))
+
 
 def extract_transcripts(spark, sf):
-    """Flagship: full fused extraction over a deterministic synthetic
-    transcript corpus (the sf dir has no transcripts table; corpus scale
-    keyed off the dir name is stable per sf)."""
+    """Flagship: the fused extraction kernel over deterministic 3-turn
+    conversations templated from `documents` — turn 0 html (chrome
+    suppression + heading gating), turn 1 pdf_layout (XY-cut grid), turn
+    2 plain+tool (fenced tool block kept for role='tool').  Full DuckDB
+    oracle: every value is a closed form of the document text."""
     from batukh_spark import kernels
-    from batukh_spark.corpus import make_transcripts
 
-    n_convs = 400 if sf.rstrip("/").endswith("0.01") else 120
-    df = make_transcripts(spark, n_convs, mega_every=97, mega_turns=300)
-    out = df.repartition(32, "conv_id") \
-        .sortWithinPartitions("conv_id", "turn_idx") \
-        .mapInArrow(
-            kernels.extract_turns_batches,
-            schema=kernels.extracted_schema_sql(
-                "conv_id string, turn_idx int, role string, text string, "
-                "tool string, ts timestamp"))
-    return out.select("conv_id", "turn_idx", "role", "family", "n_blocks",
-                      "n_kept", "extracted_text")
+    docs = t_spread(spark, sf, "documents")
+    conv = F.concat(F.lit("c"), F.col("doc_id").cast("string"))
+    html_t = docs.select(conv.alias("conv_id"), F.lit(0).alias("turn_idx"),
+                         F.lit("user").alias("role"),
+                         _html_payload_col().alias("text"),
+                         F.lit(None).cast("string").alias("tool"))
+    pdf_t = docs.select(conv.alias("conv_id"), F.lit(1).alias("turn_idx"),
+                        F.lit("assistant").alias("role"),
+                        _pdf_grid_payload_col().alias("text"),
+                        F.lit(None).cast("string").alias("tool"))
+    tool_t = docs.select(conv.alias("conv_id"), F.lit(2).alias("turn_idx"),
+                         F.lit("tool").alias("role"),
+                         _plain_tool_payload_col().alias("text"),
+                         F.lit("search").alias("tool"))
+    df = html_t.unionByName(pdf_t).unionByName(tool_t)
+    out = df.mapInArrow(
+        kernels.extract_turns_lean,
+        schema=kernels.lean_schema_sql(
+            "conv_id string, turn_idx int, role string, tool string"))
+    return out.select("conv_id", "turn_idx", "role", "family",
+                      F.col("n_blocks").cast("long").alias("n_blocks"),
+                      F.col("n_kept").cast("long").alias("n_kept"),
+                      "extracted_text")
+
+
+# shared doc-stats CTE: canonical text + word list/count
+_DOCSTATS_CTE = r"""
+with s as (
+  select doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) as c,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+           x -> x <> '') as w
+  from documents
+), st as (
+  select doc_id, c, w, len(w) as nw from s
+)
+"""
+
+EXTRACT_TRANSCRIPTS_SQL = _DOCSTATS_CTE + """
+select 'c' || doc_id as conv_id, 0 as turn_idx, 'user' as role,
+       'html' as family,
+       (3 + case when c <> '' then 1 else 0 end)::bigint as n_blocks,
+       (case when nw >= 5 then 2 else 0 end)::bigint as n_kept,
+       case when nw >= 5 then 'Doc ' || doc_id || chr(10) || c
+            else '' end as extracted_text
+from st
+union all
+select 'c' || doc_id, 1, 'assistant', 'pdf_layout',
+       ceil(nw / 8.0)::bigint,
+       ceil(nw / 8.0)::bigint,
+       array_to_string(
+         list_transform(generate_series(1, ceil(nw / 8.0)::int),
+           i -> array_to_string(w[(i-1)*8+1 : least(i*8, nw)], ' ')),
+         chr(10))
+from st
+union all
+select 'c' || doc_id, 2, 'tool', 'plain',
+       (1 + case when c <> '' then 1 else 0 end)::bigint,
+       (1 + case when c <> '' then 1 else 0 end)::bigint,
+       case when c <> '' then 'RESULT ok' || chr(10)
+                 || replace(replace(c, '<', '('), '`', chr(39))
+            else 'RESULT ok' end
+from st
+"""
 
 
 def html_block_kinds(spark, sf):
-    """K3/K5: block-type classification histogram over synthetic corpus
-    HTML payloads (rows-only check: stdlib tokenizer not SQL-expressible)."""
+    """K3/K5/K7: block tokenize+classify histogram over the templated
+    HTML payloads — (kind, keep) counts with a closed-form oracle."""
     from batukh_spark import kernels
-    from batukh_spark.corpus import make_transcripts
-    df = make_transcripts(spark, 150)
-    blocks = df.select(
-        kernels.detect_family_udf("text").alias("family"),
-        kernels.html_blocks_udf("text").alias("blocks")) \
-        .filter(F.col("family") == "html")
+    docs = t_spread(spark, sf, "documents")
+    blocks = docs.select(_html_payload_col().alias("text")) \
+        .select(kernels.html_blocks_udf("text").alias("blocks"))
     return (blocks.select(F.explode("blocks").alias("b"))
             .groupBy(F.col("b.kind").alias("kind"),
                      F.col("b.keep").alias("keep"))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg("b.score"), 4).alias("avg_density"),
-                 F.round(F.avg("b.link_density"), 4)
-                 .alias("avg_link_density")))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+HTML_BLOCK_KINDS_SQL = _DOCSTATS_CTE + """
+, per_doc as (
+  select doc_id, nw, c <> '' as has_p from st
+), rows_out as (
+  select 'boilerplate' as kind, false as keep,
+         2 * count(*) + count(*) filter (has_p and nw < 5) as n
+  from per_doc
+  union all
+  select 'heading', true, count(*) filter (nw >= 5) from per_doc
+  union all
+  select 'heading', false, count(*) filter (nw < 5) from per_doc
+  union all
+  select 'content', true, count(*) filter (nw >= 5) from per_doc
+)
+select kind, keep, n::bigint as n from rows_out where n > 0
+"""
 
 
 def pdf_xycut_lines(spark, sf):
-    """K6/K9: XY-cut line detection stats over synthetic PDF payloads
-    (rows-only)."""
+    """K6/K9: XY-cut over a 2-page, 2-column layout with running
+    header/footer — exercises column-major reading order AND repeated
+    header/footer suppression, with a closed-form oracle.
+
+    Geometry per page: header 'Page N' (top band, digit-folded repeat),
+    3 rows x 2 words in a left column, same in a right column (gutter
+    150 >= XY_COL_GAP so columns split before rows), footer 'endnote'
+    (bottom band, repeated).  Body words are letter-only (digit folding
+    can't alias them) and unique per page (no false suppression)."""
     from batukh_spark import kernels
-    from batukh_spark.corpus import make_transcripts
-    df = make_transcripts(spark, 150)
+
+    docs = t_spread(spark, sf, "documents")
+    dl = F.substring(F.lit(_ALPHA),
+                     (F.col("doc_id") % 26).cast("int") + 1, 1)
+
+    def letter(i: int):
+        return _ALPHA[i]
+
+    toks = []
+
+    def tok(t, x0, y0, page):
+        toks.append(F.struct(
+            t.alias("t") if hasattr(t, "alias")
+            else F.lit(t).alias("t"),
+            F.lit(float(x0)).alias("x0"), F.lit(float(y0)).alias("y0"),
+            F.lit(float(x0 + 20)).alias("x1"),
+            F.lit(float(y0 + 10)).alias("y1"),
+            F.lit(page).alias("page")))
+
+    for p in range(2):
+        tok("Page", 0, 0, p)
+        tok(str(p + 1), 30, 0, p)
+        for s in range(2):           # 0 = left column, 1 = right column
+            for r in range(3):
+                for c in range(2):
+                    word = F.concat(
+                        F.lit("z" + letter(p) + letter(r)
+                              + letter(2 * s + c)), dl)
+                    tok(word, (200 if s else 0) + c * 30, 40 + 30 * r, p)
+        tok("endnote", 0, 140, p)
+
+    payload = F.to_json(F.struct(F.lit("pdf_layout").alias("kind"),
+                                 F.array(*toks).alias("tokens")))
+    df = docs.select(F.col("doc_id"), payload.alias("text"),
+                     F.lit("assistant").alias("role"),
+                     F.lit(None).cast("string").alias("tool"))
     out = df.mapInArrow(
-        kernels.extract_turns_batches,
-        schema=kernels.extracted_schema_sql(
-            "conv_id string, turn_idx int, role string, text string, "
-            "tool string, ts timestamp"))
-    return (out.filter(F.col("family") == "pdf_layout")
-            .groupBy("role")
-            .agg(F.count(F.lit(1)).alias("n_turns"),
-                 F.sum("n_kept").alias("n_lines"),
-                 F.round(F.avg("n_kept"), 4).alias("avg_lines_per_turn")))
+        kernels.extract_turns_lean,
+        schema=kernels.lean_schema_sql(
+            "doc_id bigint, role string, tool string"))
+    return out.select("doc_id",
+                      F.col("n_kept").cast("long").alias("n_lines"),
+                      "extracted_text")
+
+
+PDF_XYCUT_SQL = """
+with d as (
+  select doc_id,
+         substr('abcdefghijklmnopqrstuvwxyz', (doc_id % 26)::int + 1, 1)
+           as dl
+  from documents
+)
+select doc_id, 12::bigint as n_lines,
+       array_to_string(
+         list_transform(generate_series(0, 11), i ->
+           'z' || substr('abcdefghijklmnopqrstuvwxyz', (i // 6) + 1, 1)
+               || substr('abcdefghijklmnopqrstuvwxyz', (i % 3) + 1, 1)
+               || substr('abcdefghijklmnopqrstuvwxyz',
+                         2 * ((i % 6) // 3) + 1, 1) || dl
+           || ' ' ||
+           'z' || substr('abcdefghijklmnopqrstuvwxyz', (i // 6) + 1, 1)
+               || substr('abcdefghijklmnopqrstuvwxyz', (i % 3) + 1, 1)
+               || substr('abcdefghijklmnopqrstuvwxyz',
+                         2 * ((i % 6) // 3) + 2, 1) || dl),
+         chr(10)) as extracted_text
+from d
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -788,8 +972,8 @@ QUERIES = {
     "quality_score": (quality_score_q, QUALITY_SQL),
     "lang_id": (lang_id_q, LANG_ID_SQL),
     "media_features": (media_features_q, MEDIA_SQL),
-    # rows-only (custom kernels, not SQL-expressible)
-    "extract_transcripts": (extract_transcripts, None),
-    "html_block_kinds": (html_block_kinds, None),
-    "pdf_xycut_lines": (pdf_xycut_lines, None),
+    # flagship extraction kernels over SQL-templated payloads
+    "extract_transcripts": (extract_transcripts, EXTRACT_TRANSCRIPTS_SQL),
+    "html_block_kinds": (html_block_kinds, HTML_BLOCK_KINDS_SQL),
+    "pdf_xycut_lines": (pdf_xycut_lines, PDF_XYCUT_SQL),
 }
