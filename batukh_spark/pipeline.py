@@ -7,7 +7,9 @@ FILES mode (default for path/table sources) — Iceberg-style planning:
       -> scan ONLY pending files                   [zero pre-kernel shuffle]
       -> mapInArrow(fused extraction kernel)       [ONE Python crossing]
       -> sortWithinPartitions(conv_id, turn_idx)   [on the lean output]
-      -> append parquet; append per-unit manifest rows
+      -> write extracted, partitionBy(unit), dynamic overwrite
+      -> append per-unit manifest rows (single pass: from the cached
+         kernel output, not a re-read of the written table)
 
 SHUFFLE mode (DataFrame sources / conv-bucketed output):
     read transcripts                               [scan: pruned to 6 cols]
@@ -17,7 +19,7 @@ SHUFFLE mode (DataFrame sources / conv-bucketed output):
       -> repartition(n_units, unit)                [one aligning shuffle]
       -> mapInArrow(fused kernel) -> sortWithinPartitions
       -> write extracted, partitionBy(unit), dynamic overwrite
-      -> append per-unit manifest rows (from the WRITTEN data)
+      -> append per-unit manifest rows (same single-pass derivation)
 
 Design for 10^12 turns / 1000 executors:
 
@@ -30,11 +32,16 @@ Design for 10^12 turns / 1000 executors:
   cluster size), so manifests written at N executors resume correctly at
   4N.  `repartitionByRange` was rejected for unit identity precisely
   because its sampled range bounds are not stable across runs.
-* The manifest is derived from the data actually committed by the write
-  job, then appended — a unit is 'done' only if its parquet partition
-  committed, giving exactly-once resume semantics on retry (the
-  checkpoint-restore analogue of
-  /root/reference/batukh/torch/segmenter.py:267-278,313-370).
+* Exactly-once: BOTH modes write partitioned by unit with dynamic
+  partition overwrite, and manifest rows append only after the write job
+  commits.  A crash between write-commit and manifest-append re-plans
+  those units on resume and OVERWRITES their partitions (no duplicate
+  rows) — the checkpoint-restore analogue of
+  /root/reference/batukh/torch/segmenter.py:267-278,313-370.
+* Single-pass manifest: per-unit stats aggregate from the kernel output
+  cached at executor-local storage during the write — never from a
+  second remote scan of everything just written (which would double the
+  job at 100 TB), and never from re-running the Python kernel.
 * Ordering: (conv_id, turn_idx) sort within unit partitions + unit dirs
   in the output. Readers reconstruct global order with
   ORDER BY conv_id, turn_idx — same contract as the reference's sorted,
@@ -46,7 +53,8 @@ from __future__ import annotations
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batukh_spark import kernels
@@ -58,7 +66,7 @@ CHUNK_TURNS = 512
 _INPUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 # lean kernel output: text replaced by text_nbytes (see kernels.py)
 _OUT_SCHEMA_SQL = ("conv_id string, turn_idx int, role string, "
-                   "tool string, ts timestamp, unit int")
+                   "tool string, ts timestamp, unit long")
 
 STATUS_DONE = "done"
 
@@ -70,22 +78,25 @@ def with_unit(df: DataFrame, n_units: int) -> DataFrame:
         F.pmod(F.xxhash64("conv_id",
                           (F.col("turn_idx") / F.lit(CHUNK_TURNS))
                           .cast("long")),
-               F.lit(n_units)).cast("int"))
+               F.lit(n_units)).cast("long"))
 
 
 def file_units(spark: SparkSession, source: str):
     """Iceberg-style work-unit plan: one unit per input data file.
 
     Returns (files_df with columns path/unit).  Unit identity is the
-    xxhash64 of the file URI — stable across runs and cluster sizes, and
-    the exact analogue of Iceberg's incremental file-scan planning.
-    """
+    FULL 64-bit xxhash64 of the file URI — stable across runs and
+    cluster sizes, the exact analogue of Iceberg's incremental file-scan
+    planning.  A truncated hash is a correctness hazard: at 10^6 files a
+    31-bit space expects ~n^2/2^32 collisions, and a pending file whose
+    unit collides with a 'done' unit would be silently skipped on resume.
+    The 64-bit space keeps the expected collision count < 1 up to ~10^9
+    files (and collisions fail LOUD at plan level if two paths tie,
+    because both would resume together, never drop)."""
     all_files = spark.read.parquet(source).inputFiles()
     files_df = spark.createDataFrame([(f,) for f in sorted(all_files)],
                                      "path string")
-    return files_df.select(
-        "path",
-        F.pmod(F.xxhash64("path"), F.lit(1 << 31)).cast("int").alias("unit"))
+    return files_df.select("path", F.xxhash64("path").alias("unit"))
 
 
 def run_extraction_files(spark: SparkSession, source: str, output: str,
@@ -97,18 +108,20 @@ def run_extraction_files(spark: SparkSession, source: str, output: str,
         plan files -> anti-join 'done' units  [driver-side, like Iceberg
                                                snapshot planning]
         -> scan ONLY pending files -> mapInArrow(fused kernel)
-        -> sortWithinPartitions -> APPEND parquet
-        -> append per-unit manifest rows
+        -> sortWithinPartitions
+        -> write partitionBy(unit), DYNAMIC partition overwrite
+        -> append per-unit manifest rows (from the cached kernel output)
 
     Zero pre-kernel exchange: at 10^12 turns the input arrives as
     millions of parquet/Iceberg data files, so file granularity is both
     the natural resume unit and the natural parallelism unit (Spark
     still splits oversized files across tasks via maxPartitionBytes —
     that only sub-divides a unit's compute, never merges units' commit
-    scope, because the manifest is derived from the unit column).
-    A failed job's partial task files stay under the committer's
-    _temporary dir and are invisible to readers, so append + job-commit
-    keeps resume exactly-once at unit granularity."""
+    scope, because the output is partitioned by the unit column).
+    Exactly-once: a crash after the write commits but before the
+    manifest appends leaves those units 'pending'; the resumed run
+    re-extracts them and dynamic overwrite REPLACES their partitions, so
+    no duplicate rows can survive (plain append could double them)."""
     t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:12]
     units = file_units(spark, source)
@@ -130,31 +143,28 @@ def run_extraction_files(spark: SparkSession, source: str, output: str,
 
     df = (spark.read.parquet(*pending)
           .select(*_INPUT_COLS)
-          .withColumn("unit",
-                      F.pmod(F.xxhash64(F.input_file_name()),
-                             F.lit(1 << 31)).cast("int"))
+          .withColumn("unit", F.xxhash64(F.input_file_name()))
           .select(*_INPUT_COLS, "unit"))
     extracted = (
         df.mapInArrow(kernels.extract_turns_lean,
                       schema=kernels.lean_schema_sql(_OUT_SCHEMA_SQL))
           .sortWithinPartitions("conv_id", "turn_idx"))
-    extracted.write.mode("append").parquet(output)
-
+    # single pass: the kernel output is cached at executor storage while
+    # the write materializes it, then the per-unit manifest aggregates
+    # from the SAME cache — no re-read of the written table (a second
+    # full scan at 100 TB) and no second Python extraction pass
     if metrics:
-        spark.catalog.refreshByPath(output)  # drop stale listing cache
-        written = spark.read.parquet(output)
-        prev = None
+        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        bio.write_extracted(extracted, output, partition_col="unit")
         if metrics:
-            prev = bio.read_manifest(spark, metrics)
-        if prev is not None:
-            done_before = (prev.filter(F.col("status") == STATUS_DONE)
-                           .select("unit").distinct())
-            written = written.join(F.broadcast(done_before), "unit",
-                                   "left_anti")
-        manifest = _build_manifest(written, run_id, t0)
-        bio.append_manifest(manifest, metrics)
-        summary["units_completed"] = _written_unit_count(spark, metrics,
-                                                         run_id)
+            manifest = _build_manifest(extracted, run_id, t0)
+            bio.append_manifest(manifest, metrics)
+            summary["units_completed"] = _written_unit_count(
+                spark, metrics, run_id)
+    finally:
+        if metrics:
+            extracted.unpersist()
     summary["wall_s"] = time.time() - t0
     return summary
 
@@ -247,20 +257,21 @@ def run_extraction(spark: SparkSession, source: str | DataFrame,
           .sortWithinPartitions("conv_id", "turn_idx")
     )
 
-    bio.write_extracted(extracted, output, partition_col="unit")
-
     summary = {"run_id": run_id, "n_units": n_units,
                "resumed": bool(resume and done_units is not None)}
+    # same single-pass manifest derivation as files mode (see above)
     if metrics:
-        written = spark.read.parquet(output) if "/" in output \
-            else spark.read.table(output)
-        if done_units is not None:
-            written = written.join(F.broadcast(done_units), "unit",
-                                   "left_anti")
-        manifest = _build_manifest(written, run_id, t0)
-        bio.append_manifest(manifest, metrics)
-        summary["units_completed"] = _written_unit_count(spark, metrics,
-                                                         run_id)
+        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        bio.write_extracted(extracted, output, partition_col="unit")
+        if metrics:
+            manifest = _build_manifest(extracted, run_id, t0)
+            bio.append_manifest(manifest, metrics)
+            summary["units_completed"] = _written_unit_count(
+                spark, metrics, run_id)
+    finally:
+        if metrics:
+            extracted.unpersist()
     summary["wall_s"] = time.time() - t0
     return summary
 
@@ -272,7 +283,31 @@ def latest_done_units(spark: SparkSession, metrics: str) -> DataFrame | None:
     prior = bio.read_manifest(spark, metrics)
     if prior is None:
         return None
-    from pyspark.sql import Window
     w = Window.partitionBy("unit").orderBy(F.desc("ts"), F.desc("run_id"))
     return (prior.withColumn("_rn", F.row_number().over(w))
             .filter("_rn = 1").drop("_rn"))
+
+
+def compact_manifest(spark: SparkSession, metrics: str,
+                     max_to_keep: int = 5) -> int:
+    """Retention: keep only the newest `max_to_keep` manifest rows per
+    unit and rewrite the manifest table — the analogue of the
+    reference's checkpoint retention (`max_to_keep=5` at
+    /root/reference/batukh/tensorflow/utils/train.py:145-155).  Without
+    this, a long-lived dataset's manifest grows by (units x runs) and
+    every resume scans unbounded history.
+
+    Returns the number of rows kept.  The survivor set materializes via
+    localCheckpoint (executor storage) before the source path is
+    overwritten — the manifest is metadata-scale (rows = units kept), so
+    this stays cheap even at 10^7 units."""
+    m = bio.read_manifest(spark, metrics)
+    if m is None:
+        return 0
+    w = Window.partitionBy("unit").orderBy(F.desc("ts"), F.desc("run_id"))
+    kept = (m.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_to_keep).drop("_rn")
+            .localCheckpoint())
+    n = kept.count()
+    bio.rewrite_manifest(kept, metrics)
+    return n

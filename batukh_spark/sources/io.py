@@ -56,6 +56,17 @@ def append_manifest(df: DataFrame, target: str) -> None:
     df.write.mode("append").parquet(target)
 
 
+def rewrite_manifest(df: DataFrame, target: str) -> None:
+    """Replace the manifest table contents (retention compaction).  The
+    caller must have materialized `df` (e.g. localCheckpoint) if it was
+    derived from the same path being overwritten."""
+    spark = df.sparkSession
+    if _is_catalog_table(spark, target):
+        df.writeTo(target).replace()
+        return
+    df.write.mode("overwrite").parquet(target)
+
+
 def read_manifest(spark: SparkSession, target: str) -> DataFrame | None:
     try:
         if _is_catalog_table(spark, target):
