@@ -103,6 +103,55 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_shared_bands")))
 
 
+def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b", max_iters: int = 20) -> DataFrame:
+    """Candidate pairs -> duplicate clusters: connected components by
+    iterative min-label propagation over pure DataFrame joins.
+
+    Returns (doc_id, cluster_id, is_keeper): cluster_id is the minimum
+    doc id in the component, is_keeper marks the one row per cluster a
+    dedup keep-set retains.  This is the last mile LSH needs — real
+    corpus dedup drops *clusters*, not pairs.
+
+    Scale: each iteration is one join + groupBy shuffled on id — the
+    min-label propagation step of the large-star/small-star connected-
+    components algorithm; iterations needed = graph diameter, and
+    near-dup graphs are overwhelmingly tiny cliques (diameter 1-2) with
+    rare short chains, so max_iters=20 is generous.  localCheckpoint
+    cuts lineage per iteration (no exponential plan growth).  Raises if
+    propagation hasn't converged by max_iters rather than returning a
+    silently-partial clustering.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint())
+    for _ in range(max_iters):
+        nbr_min = (edges.join(labels, edges.dst == labels.id)
+                   .groupBy("src").agg(F.min("label").alias("nbr")))
+        new_labels = (labels.join(nbr_min, labels.id == nbr_min.src, "left")
+                      .select(labels.id,
+                              F.least(F.col("label"),
+                                      F.coalesce("nbr", F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+                (F.col("id") == F.col("label")).alias("is_keeper"))
+    raise RuntimeError(
+        f"resolve_clusters: not converged after {max_iters} iterations")
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:

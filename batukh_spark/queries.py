@@ -401,6 +401,51 @@ group by 1, 2
 """
 
 
+def dedup_clusters_q(spark, sf):
+    """LSH candidate pairs -> connected-component duplicate clusters
+    (the keep/drop last mile of corpus dedup)."""
+    docs = t_spread(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    return dedup.resolve_clusters(pairs)
+
+
+# recursive reachability closure over the (symmetric) candidate-pair
+# graph; min reachable id == component id.  Quadratic in component size,
+# fine for an oracle (components are tiny near-dup cliques).
+DEDUP_CLUSTERS_SQL = (
+    "with recursive" + _SH_CTE.split("with", 1)[1] + """
+, sig as (
+  select doc_id,
+         list_transform(generate_series(0, 15),
+            s -> list_min(list_transform(shingles,
+                   g -> md5(s::varchar || ':' || g)))) as sig
+  from sh where len(shingles) > 0
+), bands as (
+  select doc_id, b as band_id,
+         md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|'
+             || sig[b*4+4]) as band_hash
+  from sig cross join unnest([0, 1, 2, 3]) as u(b)
+), cand as (
+  select a.doc_id as id_a, b.doc_id as id_b
+  from bands a
+  join bands b on a.band_id = b.band_id and a.band_hash = b.band_hash
+              and a.doc_id < b.doc_id
+  group by 1, 2
+), edges as (
+  select id_a as src, id_b as dst from cand
+  union
+  select id_b, id_a from cand
+), reach(id, lab) as (
+  select src, src from edges
+  union
+  select e.src, r.lab from edges e join reach r on r.id = e.dst
+)
+select id as doc_id, min(lab) as cluster_id,
+       id = min(lab) as is_keeper
+from reach group by id
+""")
+
+
 def ngram_jaccard_adjacent(spark, sf):
     docs = t_spread(spark, sf, "documents")
     pairs = docs.select(F.col("doc_id").alias("id_a"),
@@ -961,6 +1006,7 @@ QUERIES = {
     "extract_plain_canonical": (extract_plain_canonical, CANON_SQL),
     "dedup_exact": (dedup_exact_q, DEDUP_EXACT_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs_q, MINHASH_LSH_SQL),
+    "dedup_clusters": (dedup_clusters_q, DEDUP_CLUSTERS_SQL),
     "ngram_jaccard_adjacent": (ngram_jaccard_adjacent, NGRAM_JACCARD_SQL),
     "simhash_adjacent_hamming": (simhash_adjacent_hamming, SIMHASH_SQL),
     "fingerprint_winnow": (fingerprint_winnow, FINGERPRINT_SQL),

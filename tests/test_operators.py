@@ -151,3 +151,18 @@ def test_multimodal_plumbing(spark, docs):
     assert by_id[0].feat == by_id[1].feat
     assert by_id[0].n_bytes == len(
         "the quick brown fox jumps over the lazy dog".encode())
+
+
+def test_resolve_clusters_chain_and_clique(spark):
+    """Min-label propagation must merge multi-hop chains (1-2, 2-3, 3-4
+    -> one cluster) and keep disjoint cliques separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> cluster 1
+         (10, 11), (10, 12), (11, 12),  # clique -> cluster 10
+         (20, 21)],                     # pair  -> cluster 20
+        "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.is_keeper)
+           for r in dedup.resolve_clusters(pairs).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (1, False), 10: (10, True), 11: (10, False),
+                   12: (10, False), 20: (20, True), 21: (20, False)}
