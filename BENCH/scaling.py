@@ -13,11 +13,15 @@ Two pairs are measured:
     competes with the Python workers for cores — an artifact real
     multi-executor deployments do not have; reported with that caveat.
 
-Each level runs `bench.py` (BATUKH_BENCH_MODE=extract) in a fresh process
-(fresh JVM), twice; best-of-2 counters the host's noisy timing.
+Each level runs `bench.py` (BATUKH_BENCH_MODE=extract, 1 rep) in a fresh
+process (fresh JVM).  Repetitions are INTERLEAVED across levels so each
+rep samples one host-weather window; the reported numbers are MEDIANS
+per level plus the per-window paired efficiencies, and every raw sample
+is persisted to BENCH/raw_samples.json (best-of-N overstated by ~4x in
+round 1 and did not reproduce).
 
-Usage: python BENCH/scaling.py  [--convs 18000] [--runs 2]
-Writes BENCH/BASELINE.md and prints one JSON line.
+Usage: python BENCH/scaling.py  [--convs 18000] [--runs 3]
+Writes BENCH/BASELINE.md + BENCH/raw_samples.json, prints one JSON line.
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ def run_once(cpus: int, convs: int) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                BATUKH_BENCH_CONVS=str(convs),
+               BATUKH_BENCH_REPS="1",
                BATUKH_BENCH_MODE="extract")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -50,45 +55,59 @@ def main():
     ap.add_argument("--levels", default="2,8,32")
     args = ap.parse_args()
 
+    import statistics
+
     levels = [int(x) for x in args.levels.split(",")]
     # INTERLEAVE repetitions across levels: the sandbox host's available
     # CPU drifts on a ~10-minute scale, so sequential per-level batches
-    # would compare different "weather"; round-robin sampling + best-of-N
-    # keeps each pair comparison inside one window
-    results = {}
+    # would compare different "weather"; round-robin sampling keeps each
+    # window's N<->4N comparison apples-to-apples
+    samples: dict[int, list[dict]] = {c: [] for c in levels}
     for rep in range(args.runs):
         for cpus in levels:
             res = run_once(cpus, args.convs)
-            if cpus not in results or \
-                    res["turns_per_sec"] > results[cpus]["turns_per_sec"]:
-                results[cpus] = res
+            res["rep"] = rep
+            samples[cpus].append(res)
             print(f"rep{rep} local[{cpus}]: {res['turns_per_sec']} turns/s "
                   f"({res['wall_s']}s)", file=sys.stderr)
-    for cpus in levels:
-        print(f"best local[{cpus}]: {results[cpus]['turns_per_sec']} "
-              f"turns/s ({results[cpus]['wall_s']}s, "
-              f"{results[cpus]['turns']} turns)", file=sys.stderr)
 
-    def eff(lo, hi):
-        if lo in results and hi in results:
-            return round(results[hi]["turns_per_sec"]
-                         / results[lo]["turns_per_sec"] / (hi // lo), 3)
-        return None
+    med = {c: statistics.median(r["turns_per_sec"] for r in samples[c])
+           for c in levels}
+
+    def paired_effs(lo, hi):
+        """Per-window N->4N efficiency (same rep index = same window)."""
+        if lo not in samples or hi not in samples:
+            return None
+        return [round(h["turns_per_sec"] / l["turns_per_sec"] / (hi // lo),
+                      3)
+                for l, h in zip(samples[lo], samples[hi])]
+
+    pairs = {}
+    for lo, hi in ((1, 4), (2, 8), (8, 32)):
+        effs = paired_effs(lo, hi)
+        if effs:
+            pairs[f"{lo}_to_{hi}"] = {
+                "per_window": effs,
+                "median": round(statistics.median(effs), 3)}
 
     summary = {
         "metric": "extraction_scaling",
-        "corpus_turns": results[levels[0]]["turns"],
-        "levels": {str(c): results[c]["turns_per_sec"] for c in levels},
-        "efficiency_1_to_4": eff(1, 4),
-        "efficiency_2_to_8": eff(2, 8),
-        "efficiency_8_to_32": eff(8, 32),
+        "corpus_turns": samples[levels[0]][0]["turns"],
+        "levels_median": {str(c): med[c] for c in levels},
+        "paired_efficiency": pairs,
     }
     print(json.dumps(summary))
-    write_md(summary, results, args.convs)
+    raw_path = os.path.join(REPO, "BENCH", "raw_samples.json")
+    with open(raw_path, "w") as f:
+        json.dump({"convs": args.convs,
+                   "samples": {str(c): samples[c] for c in levels},
+                   "summary": summary}, f, indent=1)
+    print(f"wrote {raw_path}", file=sys.stderr)
+    write_md(summary, samples, med, args.convs)
     return 0
 
 
-def write_md(summary, results, convs):
+def write_md(summary, samples, med, convs):
     lines = [
         "# BENCH — measured baseline & scaling evidence",
         "",
@@ -99,16 +118,27 @@ def write_md(summary, results, convs):
         "(enforced by tests/test_spark_pipeline.py; the kernel calls the",
         "oracle per value, so equality holds by construction).",
         "",
-        "| parallelism | turns/sec | wall_s |",
+        "All numbers are MEDIANS of interleaved repetitions; every raw",
+        "sample is committed in BENCH/raw_samples.json.  (Round 1 reported",
+        "best-of-N, which overstated ~4x under this host's 2-3x",
+        "shared-tenancy load swings and did not reproduce — medians do.)",
+        "",
+        "| parallelism | median turns/sec | samples (turns/sec) |",
         "|---|---|---|",
     ]
-    for c, r in results.items():
-        lines.append(f"| local[{c}] | {r['turns_per_sec']} | {r['wall_s']} |")
+    for c in samples:
+        raw = ", ".join(str(r["turns_per_sec"]) for r in samples[c])
+        lines.append(f"| local[{c}] | {med[c]} | {raw} |")
+    lines += ["", "## N -> 4N scaling efficiency (per-window paired)", ""]
+    for key, p in summary["paired_efficiency"].items():
+        lo, hi = key.split("_to_")
+        lines.append(
+            f"- {lo} -> {hi} cores: per-window {p['per_window']}, "
+            f"median **{p['median']}**")
     lines += [
         "",
-        f"- scaling efficiency 1 -> 4 cores (N=1, 4N=4): **{summary.get('efficiency_1_to_4')}**",
-        f"- scaling efficiency 2 -> 8 cores (N=2, 4N=8): **{summary['efficiency_2_to_8']}**",
-        f"- scaling efficiency 8 -> 32 cores (N=8, 4N=32): **{summary['efficiency_8_to_32']}**",
+        "Each window pairs the two levels' runs from the SAME",
+        "interleaved repetition, so host weather cancels within a pair.",
         "",
         "## Reading the numbers",
         "",
@@ -117,11 +147,9 @@ def write_md(summary, results, convs):
         "pair (both levels leave the JVM un-contended) is therefore the",
         "faithful analogue of N -> 4N executors.  The 8->32 pair saturates",
         "the 32-core box — the shared JVM competes with the workers for",
-        "cores, an artifact that does not exist multi-machine; it is",
-        "reported for transparency.",
-        "",
-        "Host timing noise: this sandbox shows 2-3x run-to-run variance",
-        "under external load; each level reports best-of-N runs.",
+        "cores, an artifact that does not exist multi-machine (the oracle",
+        "alone under plain multiprocessing scales 8->32 procs at ~0.87",
+        "efficiency on this host); it is reported for transparency.",
         "",
         "## Reference comparison",
         "",

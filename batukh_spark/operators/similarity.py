@@ -48,45 +48,169 @@ def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
     return sim.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
-def assign_ivf_clusters(emb: DataFrame, n_centroids: int = 8,
-                        id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
-    """IVF assignment with deterministic 'trained' centroids: the vectors
-    with id 0..n_centroids-1 act as the codebook (a seeded k-means init;
-    good enough to demonstrate the partition-pruned search path).
+def quantized(vec: Column) -> Column:
+    """Micro-unit integer quantization: round(x * 1e6) per component.
 
-    Returns (vec_id, cluster).  Broadcast join + scan-local argmax.
-    """
-    cents = (emb.filter(F.col(id_col) < n_centroids)
+    K-means centroid updates average float sums, and distributed float
+    summation is ORDER-DEPENDENT in the low bits — the trained codebook
+    would differ run to run (and engine to engine).  Integer sums are
+    exact and order-independent, so quantizing once makes the whole
+    training deterministic and bit-reproducible by the DuckDB oracle."""
+    return F.transform(vec.cast("array<double>"),
+                       lambda x: F.round(x * 1e6).cast("long"))
+
+
+def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 2,
+                     dim: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic k-means codebook: init = the k lowest-id vectors,
+    then `iters` Lloyd rounds (assign by cosine argmax, recenter by
+    exact integer mean).  Returns (c_id, c_vec: array<double>).
+
+    All stages are DataFrame ops: assignment is a broadcast join +
+    scan-local argmax (nothing shuffles but the k x dim sums), recenter
+    is one groupBy with per-dimension sum columns (map-side partial
+    aggregation; no explode).  At 10^9 vectors each round is one scan +
+    one k-row shuffle — the standard scalable Lloyd shape."""
+    q = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
+    cents = (q.filter(F.col(id_col) < k)
              .select(F.col(id_col).cast("int").alias("c_id"),
-                     F.col(vec_col).cast("array<double>").alias("c_vec")))
+                     F.transform("q", lambda x: x.cast("double"))
+                     .alias("c_vec")))
+    for _ in range(iters):
+        assigned = _assign(q, cents, id_col, keep_q=True)
+        dims = [F.sum(F.col("q").getItem(i)).alias(f"s{i}")
+                for i in range(dim)]
+        cents = (assigned.groupBy("cluster")
+                 .agg(F.count(F.lit(1)).alias("n"), *dims)
+                 .select(F.col("cluster").alias("c_id"),
+                         F.array(*[(F.col(f"s{i}") / F.col("n"))
+                                   .alias(f"d{i}")
+                                   for i in range(dim)]).alias("c_vec")))
+    return cents
+
+
+def _assign(q: DataFrame, cents: DataFrame, id_col: str = "vec_id",
+            keep_q: bool = False) -> DataFrame:
+    """(id, q:quantized vec) x centroid table -> (id, cluster) by cosine
+    argmax; broadcast join + scan-local argmax, first-max tie-break.
+    keep_q carries the vector through so a Lloyd recenter needs no
+    re-join back to the source."""
     packed = cents.groupBy().agg(
         F.sort_array(F.collect_list(F.struct("c_id", "c_vec")))
         .alias("cents"))
-    scored = emb.crossJoin(F.broadcast(packed)).select(
-        F.col(id_col),
-        F.transform(
-            F.col("cents"),
-            lambda c: F.round(cosine(F.col(vec_col).cast("array<double>"),
-                                     c["c_vec"]), 9)).alias("sims"))
-    # argmax with lowest-id tie-break: array_position of the max
+    qd = F.transform(F.col("q"), lambda x: x.cast("double"))
+    scored = q.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col), F.col("q"),
+        F.transform(F.col("cents"),
+                    lambda c: cosine(qd, c["c_vec"])).alias("sims"))
     best = F.array_position(F.col("sims"), F.array_max(F.col("sims"))) - 1
-    return scored.select(F.col(id_col), best.cast("int").alias("cluster"))
+    cols = [F.col(id_col), best.cast("int").alias("cluster")]
+    if keep_q:
+        cols.append(F.col("q"))
+    return scored.select(*cols)
+
+
+def assign_ivf_clusters(emb: DataFrame, n_centroids: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        iters: int = 2, dim: int = 64) -> DataFrame:
+    """IVF assignment against a TRAINED codebook (deterministic k-means,
+    see kmeans_centroids).  Returns (vec_id, cluster)."""
+    cents = kmeans_centroids(emb, k=n_centroids, iters=iters, dim=dim,
+                             id_col=id_col, vec_col=vec_col)
+    q = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
+    return _assign(q, cents, id_col)
+
+
+def _srp_sign(j: int, i: int) -> int:
+    """Deterministic Rademacher (+1/-1) hyperplane entry for SRP bit j,
+    dimension i — derived from md5 so the DuckDB oracle reproduces the
+    exact same hyperplanes (the same md5-seeding trick the minhash
+    oracle uses)."""
+    import hashlib
+    h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+    return 1 if h[0] in "89abcdef" else -1
+
+
+def srp_signature(emb: DataFrame, n_bits: int = 16, dim: int = 64,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Sign-random-projection LSH signature: bit j = [dot(v, h_j) > 0]
+    with Rademacher hyperplanes h_j (see _srp_sign).  Collision
+    probability per bit is 1 - theta/pi, so equal signatures <=> small
+    angle — the standard cosine-LSH family.
+
+    The signs are baked in as literals, so each bit is a flat codegen'd
+    sum of +/- e[i] terms (left-to-right, matching the oracle's
+    list_sum order) — no interpreted higher-order functions in the hot
+    path.  Scan-local: computes with zero shuffle."""
+    e = F.col(vec_col).cast("array<double>")
+    bits = []
+    for j in range(n_bits):
+        acc = None
+        for i in range(dim):
+            term = e.getItem(i) if _srp_sign(j, i) > 0 else -e.getItem(i)
+            acc = term if acc is None else acc + term
+        bits.append(F.when(acc > 0, "1").otherwise("0"))
+    return emb.select(F.col(id_col), F.concat(*bits).alias("sig"))
+
+
+def srp_near_dup_pairs(emb: DataFrame, n_bits: int = 16, dim: int = 64,
+                       threshold: float = 0.9, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup candidates: pairs sharing the full SRP bucket,
+    verified by exact cosine.  The self-join shuffles only (sig, id,
+    vec) — candidate generation is bucketed, never all-pairs, so it
+    scales like the minhash LSH path (AQE absorbs hot-bucket skew)."""
+    sigs = srp_signature(emb, n_bits, dim, id_col, vec_col) \
+        .join(emb.select(F.col(id_col),
+                         F.col(vec_col).cast("array<double>").alias("e")),
+              id_col)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cos = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
+    return (a.join(b, (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    cos.alias("cos_sim"),
+                    (cos > threshold).alias("is_near_dup")))
 
 
 def ivf_topk(emb: DataFrame, query_id: int, k: int = 10,
-             n_centroids: int = 8, id_col: str = "vec_id",
+             n_centroids: int = 8, nprobe: int = 3, dim: int = 64,
+             id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """Cluster-pruned ANN: search only the query's IVF cluster.
+    """Cluster-pruned ANN: search the `nprobe` clusters whose centroids
+    are closest to the query (multi-probe IVF — single-probe recall
+    degrades when true neighbours straddle cluster boundaries, which is
+    the norm for near-uniform embeddings).
 
     At scale the assignment is precomputed and the table is partitioned
-    by cluster -> partition pruning turns this into a 1/n_centroids scan.
+    by cluster -> partition pruning turns this into an nprobe/n_centroids
+    scan; the probe-cluster choice is a tiny broadcast.
     """
-    assign = assign_ivf_clusters(emb, n_centroids, id_col, vec_col)
+    cents = kmeans_centroids(emb, k=n_centroids, dim=dim, id_col=id_col,
+                             vec_col=vec_col)
+    q = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
+    assign = _assign(q, cents, id_col)
+    # rank ALL centroids by similarity to the query vector; probe top-n
+    packed = cents.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("c_id", "c_vec")))
+        .alias("cents"))
+    qd = F.transform(F.col("q"), lambda x: x.cast("double"))
+    q_probes = (q.filter(F.col(id_col) == query_id)
+                .crossJoin(F.broadcast(packed))
+                .select(F.posexplode(
+                    F.transform(F.col("cents"),
+                                lambda c: cosine(qd, c["c_vec"])))
+                        .alias("q_cluster", "sim"))
+                .orderBy(F.desc("sim"), F.asc("q_cluster"))
+                .limit(nprobe)
+                .select("q_cluster"))
     with_cluster = emb.join(assign, id_col)
-    q_cluster = assign.filter(F.col(id_col) == query_id) \
-        .select(F.col("cluster").alias("q_cluster"))
-    pruned = with_cluster.join(F.broadcast(q_cluster),
+    pruned = with_cluster.join(F.broadcast(q_probes),
                                F.col("cluster") == F.col("q_cluster")) \
         .drop("q_cluster")
     return cosine_topk(pruned, query_id, k, id_col, vec_col)

@@ -599,31 +599,130 @@ from e a join e b on b.vec_id = a.vec_id + 1
 
 
 def ivf_cluster_sizes(spark, sf):
+    """IVF assignment histogram against the TRAINED codebook (2
+    deterministic Lloyd rounds on micro-quantized vectors — exact
+    integer sums make the training bit-reproducible in DuckDB)."""
     assign = similarity.assign_ivf_clusters(t(spark, sf, "embeddings"))
     return (assign.groupBy(F.col("cluster").cast("long").alias("cluster"))
             .agg(F.count(F.lit(1)).alias("n")))
 
 
-IVF_SQL = """
-with cents as (
-  select list(embedding::double[] order by vec_id) as cv
-  from embeddings where vec_id < 8
-), sims as (
+def _sql_cos(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB cosine between two double-list expressions, summed
+    left-to-right like Spark's aggregate(zip_with(...))."""
+    def ls(x, y):
+        return (f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> {x}[i] * {y}[i]))")
+    return f"({ls(a, b)} / (sqrt({ls(a, a)}) * sqrt({ls(b, b)})))"
+
+
+def _kmeans_cte(iters: int = 2, k: int = 8, dim: int = 64) -> str:
+    """CTE chain replicating similarity.kmeans_centroids + final assign:
+    qe (quantized) -> c0 (init) -> [aN (assign) -> cN (recenter)] x iters
+    -> assign (vec_id, cluster)."""
+    parts = [f"""qe as (
   select vec_id,
-         list_transform(cv, c ->
-           round(
-             list_sum(list_transform(generate_series(1, len(e)),
-                                     i -> e[i] * c[i]))
-             / (sqrt(list_sum(list_transform(generate_series(1, len(e)),
-                                             i -> e[i] * e[i])))
-                * sqrt(list_sum(list_transform(generate_series(1, len(c)),
-                                               i -> c[i] * c[i])))), 9))
-           as sims
-  from (select vec_id, embedding::double[] as e from embeddings)
-       cross join cents
+         list_transform(embedding::double[],
+                        x -> round(x * 1e6)::bigint) as q,
+         list_transform(embedding::double[],
+                        x -> round(x * 1e6)::bigint::double) as qd
+  from embeddings
+), c0 as (
+  select list(qd order by vec_id) as cv from qe where vec_id < {k}
+)"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""a{it} as (
+  select vec_id, q, list_position(sims, list_max(sims)) - 1 as cluster
+  from (select vec_id, q,
+               list_transform(cv, c -> {_sql_cos('qd', 'c', dim)}) as sims
+        from qe cross join c{it - 1})
+), c{it} as (
+  select list(cvec order by cluster) as cv from (
+    select cluster,
+           list_transform(generate_series(1, {dim}),
+             d -> list_sum(list_transform(ms, m -> m[d]))::double / n)
+             as cvec
+    from (select cluster, list(q) as ms, count(*) as n
+          from a{it} group by cluster))
+)""")
+    parts.append(f"""assign as (
+  select vec_id, list_position(sims, list_max(sims)) - 1 as cluster
+  from (select vec_id,
+               list_transform(cv, c -> {_sql_cos('qd', 'c', dim)}) as sims
+        from qe cross join c{iters})
+)""")
+    return "with " + ", ".join(parts)
+
+
+IVF_SQL = _kmeans_cte() + """
+select cluster::bigint as cluster, count(*) as n from assign group by 1
+"""
+
+
+def ivf_recall_topk(spark, sf):
+    """ANN quality gate: recall@10 of the multi-probe (nprobe=3)
+    cluster-pruned IVF search vs brute-force cosine top-k for vec_id=0."""
+    emb = t(spark, sf, "embeddings")
+    brute = similarity.cosine_topk(emb, query_id=0, k=10).select("vec_id")
+    ivf = similarity.ivf_topk(emb, query_id=0, k=10,
+                              nprobe=3).select("vec_id")
+    return (brute.join(ivf, "vec_id")
+            .agg((F.count(F.lit(1)) / 10.0).alias("recall_at_10")))
+
+
+IVF_RECALL_SQL = _kmeans_cte() + """
+, e as (select vec_id, embedding::double[] as ev from embeddings)
+, brute as (
+  select e.vec_id from e cross join
+       (select ev as qv from e where vec_id = 0) q
+  where e.vec_id <> 0
+  order by """ + _sql_cos("ev", "qv") + """ desc, e.vec_id asc limit 10
+), probes as (
+  select i - 1 as cluster
+  from (select list_transform(cv, c -> """ + _sql_cos("qd", "c") + """)
+               as sims
+        from (select qd from qe where vec_id = 0) cross join c2),
+       unnest(generate_series(1, 8)) as t(i)
+  order by sims[i] desc, i asc limit 3
+), ivf as (
+  select e.vec_id
+  from e join assign using (vec_id) join probes using (cluster)
+  cross join (select ev as qv from e where vec_id = 0) q
+  where e.vec_id <> 0
+  order by """ + _sql_cos("ev", "qv") + """ desc, e.vec_id asc limit 10
 )
-select list_position(sims, list_max(sims)) - 1 as cluster, count(*) as n
-from sims group by 1
+select count(*)::double / 10 as recall_at_10
+from brute join ivf using (vec_id)
+"""
+
+
+def srp_near_dup_q(spark, sf):
+    """Embedding near-dup via sign-random-projection LSH buckets (12
+    bits for healthy candidate volume at this scale) + exact cosine
+    verification — the scalable (bucketed, not all-pairs) embedding
+    dedup path."""
+    return similarity.srp_near_dup_pairs(t(spark, sf, "embeddings"),
+                                         n_bits=12)
+
+
+_SRP_SIGN_SQL = ("case when substr(md5(j::varchar || ':' "
+                 "|| (i-1)::varchar), 1, 1) in "
+                 "('8','9','a','b','c','d','e','f') then 1 else -1 end")
+
+SRP_NEAR_DUP_SQL = f"""
+with e as (select vec_id, embedding::double[] as e from embeddings),
+sigs as (
+  select vec_id, e,
+         array_to_string(list_transform(generate_series(0, 11), j ->
+           case when list_sum(list_transform(generate_series(1, 64),
+                  i -> e[i] * {_SRP_SIGN_SQL})) > 0
+                then '1' else '0' end), '') as sig
+  from e
+)
+select a.vec_id as id_a, b.vec_id as id_b,
+       round({_sql_cos('a.e', 'b.e')}, 6) as cos_sim,
+       round({_sql_cos('a.e', 'b.e')}, 6) > 0.9 as is_near_dup
+from sigs a join sigs b on a.sig = b.sig and a.vec_id < b.vec_id
 """
 
 
@@ -1014,6 +1113,8 @@ QUERIES = {
     "cosine_near_dup_adjacent": (cosine_near_dup_adjacent,
                                  COSINE_NEAR_DUP_SQL),
     "ivf_cluster_sizes": (ivf_cluster_sizes, IVF_SQL),
+    "ivf_recall_topk": (ivf_recall_topk, IVF_RECALL_SQL),
+    "srp_near_dup": (srp_near_dup_q, SRP_NEAR_DUP_SQL),
     "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
     "quality_score": (quality_score_q, QUALITY_SQL),
     "lang_id": (lang_id_q, LANG_ID_SQL),

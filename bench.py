@@ -10,6 +10,10 @@ Env:
   BATUKH_BENCH_CONVS   corpus size in conversations (default 18000,
                        ~250k turns); corpus parquet is generated once and
                        cached under /tmp keyed by size+seed
+  BATUKH_BENCH_REPS    extraction repetitions (default 3); the headline
+                       turns/sec is the MEDIAN across reps and all raw
+                       samples are reported (this host is shared-tenancy
+                       with 2-3x load swings; best-of-N overstates)
   BATUKH_BENCH_MODE    "all" (default) | "extract" (headline only —
                        used by BENCH/scaling.py)
 """
@@ -26,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("BATUKH_BENCH_CONVS", "18000"))
+REPS = int(os.environ.get("BATUKH_BENCH_REPS", "3"))
 MODE = os.environ.get("BATUKH_BENCH_MODE", "all")
 SEED = 42
 
@@ -53,8 +58,12 @@ def ensure_corpus(spark) -> str:
 
 def bench_extraction(spark) -> dict:
     """Headline: the REAL file-mode pipeline (scan -> fused kernel ->
-    sorted append write -> per-unit manifest) over the cached corpus."""
+    sorted partitioned write -> per-unit manifest) over the cached
+    corpus.  Runs REPS repetitions and reports the MEDIAN turns/sec plus
+    every raw sample (the shared-tenancy host swings 2-3x; a best-window
+    number does not reproduce — see BENCH/BASELINE.md)."""
     import shutil
+    import statistics
     import tempfile
 
     from pyspark.sql import functions as F
@@ -62,7 +71,7 @@ def bench_extraction(spark) -> dict:
 
     path = ensure_corpus(spark)
     df = spark.read.parquet(path)
-    # warmup: spawn+import the python workers so the timed run measures
+    # warmup: spawn+import the python workers so the timed runs measure
     # steady-state throughput, not process startup
     df.limit(2000).mapInArrow(
         kernels.extract_turns_lean,
@@ -70,23 +79,35 @@ def bench_extraction(spark) -> dict:
             "conv_id string, turn_idx int, role string, tool string, "
             "ts timestamp")).count()
 
-    workdir = tempfile.mkdtemp(prefix="batukh_bench_out_")
-    try:
-        t0 = time.time()
-        pipeline.run_extraction(
-            spark, path, f"{workdir}/out", metrics=f"{workdir}/metrics",
-            run_id="bench", mode="files")
-        wall = time.time() - t0
-        agg = (spark.read.parquet(f"{workdir}/out")
-               .agg(F.count(F.lit(1)).alias("rows"),
-                    F.sum(F.length("extracted_text")).alias("chars"),
-                    F.sum(F.when(F.col("error").isNotNull(), 1)
-                          .otherwise(0)).alias("errors")).collect()[0])
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
-    return {"turns": agg.rows, "wall_s": round(wall, 3),
-            "turns_per_sec": round(agg.rows / wall, 1),
-            "extracted_chars": int(agg.chars), "errors": int(agg.errors),
+    walls, rows, chars, errors = [], 0, 0, 0
+    for rep in range(max(1, REPS)):
+        workdir = tempfile.mkdtemp(prefix="batukh_bench_out_")
+        try:
+            t0 = time.time()
+            pipeline.run_extraction(
+                spark, path, f"{workdir}/out",
+                metrics=f"{workdir}/metrics",
+                run_id=f"bench{rep}", mode="files")
+            walls.append(time.time() - t0)
+            if rep == 0:
+                agg = (spark.read.parquet(f"{workdir}/out")
+                       .agg(F.count(F.lit(1)).alias("rows"),
+                            F.sum(F.length("extracted_text"))
+                            .alias("chars"),
+                            F.sum(F.when(F.col("error").isNotNull(), 1)
+                                  .otherwise(0)).alias("errors"))
+                       .collect()[0])
+                rows, chars, errors = agg.rows, int(agg.chars), \
+                    int(agg.errors)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+    med = statistics.median(walls)
+    return {"turns": rows, "wall_s": round(med, 3),
+            "turns_per_sec": round(rows / med, 1),
+            "reps": len(walls),
+            "wall_s_samples": [round(w, 3) for w in walls],
+            "turns_per_sec_samples": [round(rows / w, 1) for w in walls],
+            "extracted_chars": chars, "errors": errors,
             "cpus": CPUS, "n_convs": N_CONVS}
 
 
