@@ -35,12 +35,33 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cpus: int, convs: int) -> dict:
+def build_zip() -> str:
+    """Package the engine for --py-files shipping to executors."""
+    import zipfile
+    path = "/tmp/batukh_spark.zip"
+    with zipfile.ZipFile(path, "w") as z:
+        pkg = os.path.join(REPO, "batukh_spark")
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return path
+
+
+def run_once(cpus: int, convs: int, master: str | None = None) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                BATUKH_BENCH_CONVS=str(convs),
                BATUKH_BENCH_REPS="1",
                BATUKH_BENCH_MODE="extract")
+    if master:
+        # standalone cluster: cpus = spark.cores.max; executors are
+        # carved at 4 cores each, one JVM per executor (the real N vs 4N
+        # EXECUTOR comparison — no shared-JVM artifact)
+        env["SPARK_GRAFT_MASTER"] = master
+        env["SPARK_GRAFT_PY_FILES"] = build_zip()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800)
@@ -53,6 +74,11 @@ def main():
     ap.add_argument("--convs", type=int, default=18000)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--levels", default="2,8,32")
+    ap.add_argument("--master", default=None,
+                    help="standalone master URL (e.g. "
+                         "spark://127.0.0.1:7077); levels then mean "
+                         "spark.cores.max with 4-core executors — the "
+                         "N vs 4N EXECUTOR comparison")
     args = ap.parse_args()
 
     import statistics
@@ -65,7 +91,7 @@ def main():
     samples: dict[int, list[dict]] = {c: [] for c in levels}
     for rep in range(args.runs):
         for cpus in levels:
-            res = run_once(cpus, args.convs)
+            res = run_once(cpus, args.convs, master=args.master)
             res["rep"] = rep
             samples[cpus].append(res)
             print(f"rep{rep} local[{cpus}]: {res['turns_per_sec']} turns/s "
@@ -83,21 +109,25 @@ def main():
                 for l, h in zip(samples[lo], samples[hi])]
 
     pairs = {}
-    for lo, hi in ((1, 4), (2, 8), (8, 32)):
-        effs = paired_effs(lo, hi)
-        if effs:
+    for lo in levels:           # every N -> 4N pair present in the sweep
+        hi = lo * 4
+        if hi in levels:
+            effs = paired_effs(lo, hi)
             pairs[f"{lo}_to_{hi}"] = {
                 "per_window": effs,
                 "median": round(statistics.median(effs), 3)}
 
     summary = {
         "metric": "extraction_scaling",
+        "mode": ("standalone (4-core executors, one JVM each)"
+                 if args.master else "local"),
         "corpus_turns": samples[levels[0]][0]["turns"],
         "levels_median": {str(c): med[c] for c in levels},
         "paired_efficiency": pairs,
     }
     print(json.dumps(summary))
-    raw_path = os.path.join(REPO, "BENCH", "raw_samples.json")
+    suffix = "_standalone" if args.master else "_local"
+    raw_path = os.path.join(REPO, "BENCH", f"raw_samples{suffix}.json")
     with open(raw_path, "w") as f:
         json.dump({"convs": args.convs,
                    "samples": {str(c): samples[c] for c in levels},

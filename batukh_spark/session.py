@@ -36,7 +36,24 @@ def get_spark(app_name: str = "batukh-spark", cores: int | None = None,
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master:
+        # standalone/yarn master: `cores` caps total executor cores and
+        # executors are carved at SPARK_GRAFT_EXECUTOR_CORES each — the
+        # N vs 4N executor comparison shape (each executor = own JVM)
+        b = (b.master(master)
+             .config("spark.cores.max", str(cores))
+             .config("spark.executor.cores",
+                     os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "4"))
+             .config("spark.executor.memory",
+                     os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY", "6g")))
+        # ship the engine to executors exactly like production:
+        # spark-submit --py-files <zip> (executors are separate JVMs
+        # spawning their own Python workers)
+        py_files = os.environ.get("SPARK_GRAFT_PY_FILES")
+        if py_files:
+            b = b.config("spark.submit.pyFiles", py_files)
+    elif not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         b = b.master(f"local[{cores}]")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
