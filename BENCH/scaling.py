@@ -62,11 +62,63 @@ def run_once(cpus: int, convs: int, master: str | None = None) -> dict:
         # EXECUTOR comparison — no shared-JVM artifact)
         env["SPARK_GRAFT_MASTER"] = master
         env["SPARK_GRAFT_PY_FILES"] = build_zip()
+    load_before = os.getloadavg()[0]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800)
     line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)["extraction"]
+    res = json.loads(line)["extraction"]
+    # co-tenant interference context: loadavg BEFORE the run is load we
+    # did not cause; samples taken under external load are suspect
+    res["loadavg_before"] = round(load_before, 1)
+    res["loadavg_after"] = round(os.getloadavg()[0], 1)
+    return res
+
+
+QUIET_BUSY = 0.08      # whole-box CPU busy fraction we accept as quiet
+QUIET_WAIT_MAX_S = 1200
+
+
+def _cpu_counters():
+    vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+    return sum(vals), vals[3] + vals[4]   # total, idle(+iowait)
+
+
+def busy_frac(dur: float = 3.0) -> float:
+    """Whole-box CPU busy fraction over `dur` seconds, from /proc/stat.
+
+    NOTE: loadavg is unusable on this kernel (observed 8-25 on a box
+    /proc/stat shows 99% idle), so quiet detection must use real CPU
+    accounting."""
+    import time as _t
+    t0, i0 = _cpu_counters()
+    _t.sleep(dur)
+    t1, i1 = _cpu_counters()
+    return 1.0 - (i1 - i0) / max(1, (t1 - t0))
+
+
+def wait_quiet() -> float:
+    """Block until external CPU use is negligible.  This VM is
+    shared-tenancy: external workloads periodically take 10+ cores for
+    minutes, swinging identical runs 4x — a sample is only meaningful
+    when the box is quiet when it starts."""
+    import time as _t
+    t0 = _t.time()
+    while _t.time() - t0 < QUIET_WAIT_MAX_S:
+        b = busy_frac()
+        if b < QUIET_BUSY:
+            return b
+        print(f"  waiting for quiet box (busy {b:.2f})", file=sys.stderr)
+    return busy_frac()
+
+
+def run_clean(cpus: int, convs: int, master: str | None) -> dict:
+    """One sample, started on a verified-quiet box."""
+    b = wait_quiet()
+    res = run_once(cpus, convs, master=master)
+    res["busy_before"] = round(b, 3)
+    res["clean_start"] = b < QUIET_BUSY
+    return res
 
 
 def main():
@@ -77,9 +129,16 @@ def main():
     ap.add_argument("--master", default=None,
                     help="standalone master URL (e.g. "
                          "spark://127.0.0.1:7077); levels then mean "
-                         "spark.cores.max with 4-core executors — the "
-                         "N vs 4N EXECUTOR comparison")
+                         "spark.cores.max — the N vs 4N EXECUTOR "
+                         "comparison")
+    ap.add_argument("--executor-cores", default=None,
+                    help="cores per executor in standalone mode "
+                         "(default 4; use 1 so levels = executor count "
+                         "and stay inside the host's real parallel "
+                         "capacity)")
     args = ap.parse_args()
+    if args.executor_cores:
+        os.environ["SPARK_GRAFT_EXECUTOR_CORES"] = args.executor_cores
 
     import statistics
 
@@ -91,11 +150,13 @@ def main():
     samples: dict[int, list[dict]] = {c: [] for c in levels}
     for rep in range(args.runs):
         for cpus in levels:
-            res = run_once(cpus, args.convs, master=args.master)
+            res = run_clean(cpus, args.convs, args.master)
             res["rep"] = rep
             samples[cpus].append(res)
-            print(f"rep{rep} local[{cpus}]: {res['turns_per_sec']} turns/s "
-                  f"({res['wall_s']}s)", file=sys.stderr)
+            print(f"rep{rep} cores={cpus}: {res['turns_per_sec']} turns/s "
+                  f"({res['wall_s']}s, busy_before={res['busy_before']}, "
+                  f"clean_start={res['clean_start']})",
+                  file=sys.stderr)
 
     med = {c: statistics.median(r["turns_per_sec"] for r in samples[c])
            for c in levels}
