@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("BATUKH_BENCH_CONVS", "18000"))
-REPS = int(os.environ.get("BATUKH_BENCH_REPS", "3"))
+REPS = int(os.environ.get("BATUKH_BENCH_REPS", "5"))
 MODE = os.environ.get("BATUKH_BENCH_MODE", "all")
 SEED = 42
 
@@ -78,6 +78,18 @@ def bench_extraction(spark) -> dict:
         schema=kernels.lean_schema_sql(
             "conv_id string, turn_idx int, role string, tool string, "
             "ts timestamp")).count()
+
+    # best-effort quiet start (bounded): this VM is shared-tenancy and
+    # loadavg is broken on its kernel, so gate on /proc/stat busy frac
+    def _busy(dur=2.0):
+        def snap():
+            v = list(map(int, open("/proc/stat").readline().split()[1:]))
+            return sum(v), v[3] + v[4]
+        t0, i0 = snap(); time.sleep(dur); t1, i1 = snap()
+        return 1.0 - (i1 - i0) / max(1, t1 - t0)
+    t_gate = time.time()
+    while time.time() - t_gate < 120 and _busy() > 0.10:
+        pass
 
     walls, rows, chars, errors = [], 0, 0, 0
     for rep in range(max(1, REPS)):
