@@ -192,3 +192,15 @@ def test_resolve_clusters_chain_and_clique(spark):
     assert out == {1: (1, True), 2: (1, False), 3: (1, False),
                    4: (1, False), 10: (10, True), 11: (10, False),
                    12: (10, False), 20: (20, True), 21: (20, False)}
+
+
+def test_fast_ivf_assignment_equals_exact(spark):
+    """The numpy bulk-assignment path must agree with the bit-exact
+    oracle form on real testdata (argmax ties at float-rounding scale
+    would be the only divergence; none exist on real embeddings)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r.vec_id: r.cluster
+             for r in similarity.assign_ivf_clusters(emb).collect()}
+    fast = {r.vec_id: r.cluster
+            for r in similarity.assign_ivf_clusters_fast(emb).collect()}
+    assert exact == fast
