@@ -47,3 +47,64 @@ def incremental_extract(spark: SparkSession, source_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_turn_counts(spark: SparkSession, source_dir: str,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours"):
+    """Event-time windowed turn counts per role with late-data handling.
+
+    `withWatermark` bounds state: rows later than `watermark` behind the
+    max event time are dropped and windows older than that are finalized
+    and evicted — the standard Structured Streaming late-data contract.
+    Returns an unstarted streaming DataFrame (caller picks the sink)."""
+    from pyspark.sql import functions as F
+    stream = (spark.readStream
+              .schema(TRANSCRIPTS_SCHEMA)
+              .parquet(source_dir))
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "role")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.sum(F.length("text")).alias("n_chars")))
+
+
+# output schema of the stateful conversation assembler
+CONV_STATE_SCHEMA = ("conv_id string, n_turns long, last_turn_idx int, "
+                     "n_tool_turns long")
+_CONV_STATE_TYPES = "n_turns long, last_turn_idx int, n_tool_turns long"
+
+
+def conv_progress_stateful(spark: SparkSession, source_dir: str):
+    """Custom stateful operator via applyInPandasWithState: running
+    per-conversation progress (turn count, max turn_idx, tool-turn
+    count) maintained across micro-batches in GroupState — the
+    streaming analogue of the reference's incremental per-epoch
+    counters (torch segmenter train loop, segmenter.py:107-133).
+
+    State is one tiny tuple per conversation; a processing-time timeout
+    would evict idle conversations in a long-lived deployment."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, last, tools = (state.get if state.exists else (0, -1, 0))
+        for pdf in pdfs:
+            n += len(pdf)
+            last = max(last, int(pdf["turn_idx"].max()))
+            tools += int((pdf["role"] == "tool").sum())
+        state.update((n, last, tools))
+        import pandas as _pd
+        yield _pd.DataFrame([{"conv_id": key[0], "n_turns": n,
+                              "last_turn_idx": last, "n_tool_turns": tools}])
+
+    stream = (spark.readStream
+              .schema(TRANSCRIPTS_SCHEMA)
+              .parquet(source_dir))
+    return (stream.groupBy("conv_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=CONV_STATE_SCHEMA,
+                stateStructType=_CONV_STATE_TYPES,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -36,3 +36,41 @@ def test_incremental_extract_catches_up_and_resumes(spark, dirs):
     q2.awaitTermination(120)
     spark.catalog.refreshByPath(dirs["out"])
     assert spark.read.parquet(dirs["out"]).count() == n1 + n2
+
+
+def test_windowed_turn_counts_with_watermark(spark, dirs):
+    from batukh_spark.streaming.incremental import windowed_turn_counts
+    make_transcripts(spark, 15, partitions=2).write.parquet(dirs["src"])
+    agg = windowed_turn_counts(spark, dirs["src"])
+    q = (agg.writeStream.format("memory").queryName("wtc")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from wtc").collect()
+    assert rows
+    total = sum(r.n_turns for r in rows)
+    assert total == spark.read.parquet(dirs["src"]).count()
+    roles = {r.role for r in rows}
+    assert "user" in roles and "assistant" in roles
+    assert all(r.w.start is not None for r in rows)
+
+
+def test_conv_progress_stateful(spark, dirs):
+    from batukh_spark.streaming.incremental import conv_progress_stateful
+    src = make_transcripts(spark, 12, partitions=2)
+    src.write.parquet(dirs["src"])
+    q = (conv_progress_stateful(spark, dirs["src"])
+         .writeStream.format("memory").queryName("cps")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # latest state row per conversation must equal the batch ground truth
+    got = {}
+    for r in spark.sql("select * from cps").collect():
+        got[r.conv_id] = (r.n_turns, r.last_turn_idx, r.n_tool_turns)
+    from pyspark.sql import functions as F
+    want = {r.conv_id: (r.n, r.last, r.tools)
+            for r in src.groupBy("conv_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("turn_idx").alias("last"),
+                F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+                .cast("long").alias("tools")).collect()}
+    assert got == want
