@@ -29,6 +29,11 @@ def main(argv=None) -> int:
     p.add_argument("--run-id", default=None)
     p.add_argument("--n-units", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--compact-manifest", type=int, default=None,
+                   metavar="N",
+                   help="after the run, keep only the newest N manifest "
+                        "rows per unit (checkpoint retention, the "
+                        "max_to_keep analogue)")
     p.add_argument("--parallelism", type=int, default=None,
                    help="local[N] cores (ignored on a real cluster)")
     args = p.parse_args(argv)
@@ -48,6 +53,9 @@ def main(argv=None) -> int:
         summary = pipeline.run_extraction(
             spark, source, args.output, metrics=args.metrics,
             run_id=args.run_id, n_units=args.n_units, resume=args.resume)
+        if args.compact_manifest and args.metrics:
+            summary["manifest_rows_kept"] = pipeline.compact_manifest(
+                spark, args.metrics, max_to_keep=args.compact_manifest)
         print(json.dumps(summary))
         return 0
     finally:

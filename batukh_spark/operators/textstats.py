@@ -23,13 +23,19 @@ LANG_PROFILES = {
 
 STOPWORDS_EN = LANG_PROFILES["en"]
 
-# BPE-ish word/number/symbol segmentation (shared with the SQL oracle)
+# Pre-tokenizer word/number/symbol segmentation (shared with the SQL
+# oracle).  This is NOT a trained BPE: no tokenizer library ships in
+# this sandbox, so `n_bpe_tokens` counts GPT-style pre-tokenization
+# pieces (letter runs / digit runs / single symbols) — an upper-bound
+# proxy that correlates with real BPE counts; swap in a real tokenizer
+# via mapInPandas when one is available.
 BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    """(id, n_ws_tokens, n_bpe_tokens, n_chars)."""
+    """(id, n_ws_tokens, n_bpe_tokens, n_chars).  n_bpe_tokens is the
+    pre-tokenization proxy documented at BPE_REGEX, not a trained BPE."""
     return docs.select(
         F.col(id_col),
         F.size(tokens_col(text_col)).alias("n_ws_tokens"),
