@@ -133,6 +133,9 @@ def run_extraction_files(spark: SparkSession, source: str, output: str,
             done_units = (prior.filter(F.col("status") == STATUS_DONE)
                           .select("unit").distinct())
             units = units.join(F.broadcast(done_units), "unit", "left_anti")
+    # driver-side file list, as in any Spark/Iceberg planning step: at
+    # 10^7 files this is ~1-2 GB of driver heap (path strings) — size
+    # spark.driver.memory accordingly, or plan per input partition
     pending = [r.path for r in units.select("path").collect()]
     summary = {"run_id": run_id, "mode": "files",
                "resumed": bool(resume and done_units is not None),

@@ -843,6 +843,30 @@ from documents
 """
 
 
+def video_frame_sample_q(spark, sf):
+    """Video frame sampling: mapInPandas 1 -> N fan-out (one row per
+    sampled frame), stub decode with a SQL-reproducible checksum."""
+    from batukh_spark.operators.multimodal import (sample_frames,
+                                                   synthesize_video)
+    media = synthesize_video(spark, t(spark, sf, "documents"))
+    return sample_frames(media, every_n=4).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "frame_checksum")
+
+
+VIDEO_FRAME_SQL = """
+with v as (
+  select doc_id as media_id, text,
+         (length(text) % 13) + 2 as n_frames
+  from documents
+)
+select media_id, i as frame_idx, n_frames::bigint as n_frames,
+       substr(sha256(text || ':' || i::varchar), 1, 16) as frame_checksum
+from v, unnest(range(0, n_frames::bigint, 4)) as t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # extraction flagship — REAL kernels over SQL-templated payloads, so the
 # driver's DuckDB gate can verify the whole inference path bit-for-bit
@@ -1119,6 +1143,7 @@ QUERIES = {
     "quality_score": (quality_score_q, QUALITY_SQL),
     "lang_id": (lang_id_q, LANG_ID_SQL),
     "media_features": (media_features_q, MEDIA_SQL),
+    "video_frame_sample": (video_frame_sample_q, VIDEO_FRAME_SQL),
     # flagship extraction kernels over SQL-templated payloads
     "extract_transcripts": (extract_transcripts, EXTRACT_TRANSCRIPTS_SQL),
     "html_block_kinds": (html_block_kinds, HTML_BLOCK_KINDS_SQL),

@@ -204,3 +204,30 @@ def test_fast_ivf_assignment_equals_exact(spark):
     fast = {r.vec_id: r.cluster
             for r in similarity.assign_ivf_clusters_fast(emb).collect()}
     assert exact == fast
+
+
+def test_resize_images_plumbing(spark, docs):
+    media = multimodal.synthesize_media(spark, docs)
+    out = {r.media_id: r
+           for r in multimodal.resize_images(media, 8, 6).collect()}
+    assert len(out) == docs.count()
+    r = out[0]
+    assert len(r.payload) == 8 * 6 * 3 and (r.width, r.height) == (8, 6)
+    # deterministic: identical payloads resize identically
+    assert out[0].checksum == out[1].checksum
+    assert out[0].checksum != out[4].checksum
+
+
+def test_sample_frames_fan_out(spark, docs):
+    import math
+    media = multimodal.synthesize_video(spark, docs)
+    metas = {r.media_id: r.meta.n_frames for r in media.collect()}
+    rows = multimodal.sample_frames(media, every_n=4).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    for mid, n in metas.items():
+        want = list(range(0, n, 4))
+        assert sorted(per[mid]) == want, mid
+    # 1 -> N fan-out total
+    assert len(rows) == sum(math.ceil(n / 4) for n in metas.values())
