@@ -1,13 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)    — flagship fused extraction over a deterministic synthetic
-                  transcript corpus at sf0.001 scale.
+entry(spark)    — flagship fused extraction (real kernels over templated
+                  3-turn conversations from the documents table) at
+                  sf0.001 scale.
 queries()       — one entry per implemented operator family from
                   SURVEY.md §2 (see batukh_spark/queries.py for the
                   operator-id mapping).
-oracle_sql()    — DuckDB-equivalent SQL per query; omitted only for the
-                  custom extraction kernels (stdlib HTML tokenizer /
-                  XY-cut), which the driver checks rows-only.
+oracle_sql()    — DuckDB-equivalent SQL for EVERY query (the flagship
+                  extraction kernels run over SQL-templated payloads
+                  whose expected output is a closed form, so nothing is
+                  rows-only).
 """
 
 from __future__ import annotations

@@ -29,9 +29,17 @@ def _is_catalog_table(spark: SparkSession, ident: str) -> bool:
 
 
 def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
-    """source = catalog table ident or parquet path/dir."""
+    """source = catalog table ident, parquet path/dir, or JSONL
+    (.jsonl/.json) path/dir — web-scale transcript dumps commonly
+    arrive as line-delimited JSON before compaction to parquet."""
     if _is_catalog_table(spark, source):
         return spark.read.table(source)
+    if source.rstrip("/").endswith((".jsonl", ".json")):
+        from batukh_spark.schema import TRANSCRIPTS_SCHEMA
+        return (spark.read.schema(TRANSCRIPTS_SCHEMA)
+                .option("timestampFormat",
+                        "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+                .json(source))
     return spark.read.parquet(source)
 
 
