@@ -37,9 +37,10 @@ SEED = 42
 BENCH_QUERIES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
     "top3_orders_per_cust", "sessionize_events", "dedup_exact",
-    "minhash_lsh_pairs", "simhash_adjacent_hamming", "fingerprint_winnow",
-    "token_counts", "quality_score", "lang_id", "cosine_topk",
-    "ivf_cluster_sizes", "media_features",
+    "minhash_lsh_pairs", "dedup_clusters", "simhash_adjacent_hamming",
+    "fingerprint_winnow", "token_counts", "quality_score", "lang_id",
+    "cosine_topk", "ivf_cluster_sizes", "srp_near_dup", "media_features",
+    "video_frame_sample",
 ]
 
 
