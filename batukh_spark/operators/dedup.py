@@ -125,7 +125,12 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))
-             .distinct())
+             .distinct()
+             # materialize ONCE: every propagation round joins edges,
+             # and without this each round re-executes the whole
+             # upstream candidate-generation DAG (e.g. the full
+             # minhash+LSH pipeline) — a per-iteration corpus re-scan
+             .localCheckpoint())
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint())
