@@ -148,10 +148,20 @@ def assign_ivf_clusters_fast(emb: DataFrame, n_centroids: int = 8,
     @pandas_udf(T.IntegerType())
     def best_cluster(vecs: pd.Series) -> pd.Series:
         m = np.array([np.asarray(v, dtype="f8") for v in vecs])
-        qm = np.rint(m * 1e6)                     # same quantization
-        sims = (qm @ cmat.T) / (np.linalg.norm(qm, axis=1, keepdims=True)
-                                * cnorm[None, :])
-        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+        # half-AWAY-from-zero rounding: np.rint is half-to-even, which
+        # diverges from the oracle/DuckDB round() on exact .5 boundaries
+        s = m * 1e6
+        qm = np.sign(s) * np.floor(np.abs(s) + 0.5)
+        qnorm = np.linalg.norm(qm, axis=1)
+        zero = qnorm == 0.0
+        qnorm[zero] = 1.0                         # avoid 0/0 warnings
+        sims = (qm @ cmat.T) / (qnorm[:, None] * cnorm[None, :])
+        out = pd.array(np.argmax(sims, axis=1).astype("int32"),
+                       dtype="Int32")
+        # zero-norm vectors have no defined cosine: the exact HOF path
+        # yields NULL (0/0 -> null in Spark SQL), so match it
+        out[zero] = None
+        return pd.Series(out)
 
     return emb.select(F.col(id_col),
                       best_cluster(F.col(vec_col)).alias("cluster"))
@@ -202,24 +212,57 @@ def srp_signature(emb: DataFrame, n_bits: int = 16, dim: int = 64,
     return emb.select(F.col(id_col), F.concat(*bits).alias("sig"))
 
 
-def srp_near_dup_pairs(emb: DataFrame, n_bits: int = 16, dim: int = 64,
+def srp_candidate_pairs(emb: DataFrame, n_bits: int = 32,
+                        n_bands: int = 4, dim: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Banded SRP-LSH candidates: (id_a, id_b, n_shared_bands).
+
+    The signature splits into `n_bands` bands of n_bits/n_bands bits
+    with OR semantics — a pair is a candidate when ANY band matches
+    (the same band/bucket shape as the minhash `lsh_candidate_pairs`).
+    A single full-signature gate has recall 0.899^32 ~ 3% at cos=0.95;
+    4 OR'd 8-bit bands give 1-(1-0.899^8)^4 ~ 0.91, and the verify step
+    keeps precision.  The self-join shuffles only (band_id, band_sig,
+    id) — bucketed, never all-pairs; pairs colliding in several bands
+    collapse in the groupBy."""
+    rows_per_band = n_bits // n_bands
+    sigs = srp_signature(emb, n_bits, dim, id_col, vec_col)
+    band_cols = [F.substring("sig", b * rows_per_band + 1, rows_per_band)
+                 for b in range(n_bands)]
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+
+
+def srp_near_dup_pairs(emb: DataFrame, n_bits: int = 32,
+                       n_bands: int = 4, dim: int = 64,
                        threshold: float = 0.9, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
-    """Embedding near-dup candidates: pairs sharing the full SRP bucket,
-    verified by exact cosine.  The self-join shuffles only (sig, id,
-    vec) — candidate generation is bucketed, never all-pairs, so it
-    scales like the minhash LSH path (AQE absorbs hot-bucket skew)."""
-    sigs = srp_signature(emb, n_bits, dim, id_col, vec_col) \
-        .join(emb.select(F.col(id_col),
-                         F.col(vec_col).cast("array<double>").alias("e")),
-              id_col)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    cos = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
-    return (a.join(b, (F.col("a.sig") == F.col("b.sig"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
+    """Embedding near-dup: multi-band SRP-LSH candidates verified by
+    exact cosine.  Returns (id_a, id_b, n_shared_bands, cos_sim,
+    is_near_dup).  Candidate generation is bucketed (see
+    srp_candidate_pairs); the verify join ships vectors for candidates
+    only, so the quadratic term is bounded by bucket sizes, not corpus
+    size."""
+    cand = srp_candidate_pairs(emb, n_bits, n_bands, dim, id_col, vec_col)
+    vecs = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("e"))
+    a = vecs.alias("va")
+    b = vecs.alias("vb")
+    cos = F.round(cosine(F.col("va.e"), F.col("vb.e")), 6)
+    return (cand
+            .join(a, cand.id_a == F.col(f"va.{id_col}"))
+            .join(b, cand.id_b == F.col(f"vb.{id_col}"))
+            .select("id_a", "id_b", "n_shared_bands",
                     cos.alias("cos_sim"),
                     (cos > threshold).alias("is_near_dup")))
 

@@ -697,32 +697,126 @@ from brute join ivf using (vec_id)
 
 
 def srp_near_dup_q(spark, sf):
-    """Embedding near-dup via sign-random-projection LSH buckets (12
-    bits for healthy candidate volume at this scale) + exact cosine
-    verification — the scalable (bucketed, not all-pairs) embedding
-    dedup path."""
-    return similarity.srp_near_dup_pairs(t(spark, sf, "embeddings"),
-                                         n_bits=12)
+    """Embedding near-dup via MULTI-BAND SRP-LSH (32 bits = 4 OR'd
+    8-bit bands — a pair is a candidate when ANY band matches, the same
+    OR-of-bands recall shape as the minhash LSH path) + exact cosine
+    verification.  Bucketed, never all-pairs."""
+    return similarity.srp_near_dup_pairs(
+        t_spread(spark, sf, "embeddings"), n_bits=32, n_bands=4)
 
 
 _SRP_SIGN_SQL = ("case when substr(md5(j::varchar || ':' "
                  "|| (i-1)::varchar), 1, 1) in "
                  "('8','9','a','b','c','d','e','f') then 1 else -1 end")
 
+
+def _srp_band_cte(src: str = "e", n_bits: int = 32,
+                  n_bands: int = 4) -> str:
+    """sigs/bands/cand CTE bodies over `src`(vec_id, e) — mirrors
+    similarity.srp_candidate_pairs (same md5 hyperplanes, same band
+    split, OR-of-bands pair semantics)."""
+    rpb = n_bits // n_bands
+    bvals = ", ".join(str(b) for b in range(n_bands))
+    return f"""sigs as (
+  select vec_id,
+         array_to_string(list_transform(generate_series(0, {n_bits - 1}),
+           j -> case when list_sum(list_transform(generate_series(1, 64),
+                  i -> {src}.e[i] * {_SRP_SIGN_SQL})) > 0
+                then '1' else '0' end), '') as sig
+  from {src}
+), bands as (
+  select vec_id, b as band_id, substr(sig, b * {rpb} + 1, {rpb}) as band_sig
+  from sigs cross join unnest([{bvals}]) as u(b)
+), cand as (
+  select a.vec_id as id_a, b.vec_id as id_b, count(*) as n_shared_bands
+  from bands a
+  join bands b on a.band_id = b.band_id and a.band_sig = b.band_sig
+              and a.vec_id < b.vec_id
+  group by 1, 2
+)"""
+
+
 SRP_NEAR_DUP_SQL = f"""
 with e as (select vec_id, embedding::double[] as e from embeddings),
-sigs as (
-  select vec_id, e,
-         array_to_string(list_transform(generate_series(0, 11), j ->
-           case when list_sum(list_transform(generate_series(1, 64),
-                  i -> e[i] * {_SRP_SIGN_SQL})) > 0
-                then '1' else '0' end), '') as sig
-  from e
-)
-select a.vec_id as id_a, b.vec_id as id_b,
+{_srp_band_cte('e')}
+select c.id_a, c.id_b, c.n_shared_bands,
        round({_sql_cos('a.e', 'b.e')}, 6) as cos_sim,
        round({_sql_cos('a.e', 'b.e')}, 6) > 0.9 as is_near_dup
-from sigs a join sigs b on a.sig = b.sig and a.vec_id < b.vec_id
+from cand c
+join e a on a.vec_id = c.id_a
+join e b on b.vec_id = c.id_b
+"""
+
+
+def srp_recall(spark, sf):
+    """Candidate-recall gate for the banded SRP path: plant one
+    deterministic near-dup twin per vec_id < 100 (component-wise
+    perturbation e_j * (1 + eps * s_j), eps in {0.1, 0.15, 0.2} ->
+    cos ~ {0.995, 0.989, 0.980}, all > 0.95; the raw corpus has NO
+    natural pairs above 0.52), then measure what fraction of the
+    brute-force cos > 0.95 pair set the bucketed candidates recover.
+
+    The brute-force truth set is inherently all-pairs — it exists only
+    to MEASURE recall and runs at validation scale (the driver gates at
+    sf0.01); the operator under test stays bucketed."""
+    emb = t_spread(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    eps = F.element_at(F.array(F.lit(0.1), F.lit(0.15), F.lit(0.2)),
+                       (F.col("vec_id") % 3 + 1).cast("int"))
+
+    def tsign(i):
+        h = F.md5(F.concat(F.lit("t:"), F.col("vec_id").cast("string"),
+                           F.lit(":"), i.cast("string")))
+        return F.when(F.substring(h, 1, 1).isin(*"89abcdef"),
+                      F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    twins = (emb.filter(F.col("vec_id") < 100)
+             .select((F.col("vec_id") + 1000000).alias("tid"),
+                     F.transform("e", lambda x, i:
+                                 x * (1 + eps * tsign(i))).alias("e"))
+             .select(F.col("tid").alias("vec_id"), "e"))
+    aug = emb.unionByName(twins)
+    a = aug.alias("ta")
+    b = aug.alias("tb")
+    cos = F.round(similarity.cosine(F.col("ta.e"), F.col("tb.e")), 6)
+    truth = (a.join(b, F.col("ta.vec_id") < F.col("tb.vec_id"))
+             .filter(cos > 0.95)
+             .select(F.col("ta.vec_id").alias("id_a"),
+                     F.col("tb.vec_id").alias("id_b")))
+    cand = similarity.srp_candidate_pairs(
+        aug, n_bits=32, n_bands=4, vec_col="e")
+    return (truth.join(cand, ["id_a", "id_b"], "left")
+            .agg(F.count(F.lit(1)).alias("n_true"),
+                 F.count("n_shared_bands").alias("n_hit"),
+                 F.round(F.count("n_shared_bands")
+                         / F.count(F.lit(1)), 4).alias("recall")))
+
+
+SRP_RECALL_SQL = f"""
+with e0 as (select vec_id, embedding::double[] as e from embeddings),
+tw as (
+  select vec_id + 1000000 as tid,
+         list_transform(generate_series(1, 64), i ->
+           e[i] * (1 + ([0.1, 0.15, 0.2])[(vec_id % 3)::int + 1] *
+             (case when substr(md5('t:' || vec_id::varchar || ':'
+                                    || (i-1)::varchar), 1, 1)
+                   in ('8','9','a','b','c','d','e','f')
+              then 1.0 else -1.0 end))) as e
+  from e0 where vec_id < 100
+),
+e as (select vec_id, e from e0
+      union all select tid as vec_id, e from tw),
+truth as (
+  select a.vec_id as id_a, b.vec_id as id_b
+  from e a join e b on a.vec_id < b.vec_id
+  where round({_sql_cos('a.e', 'b.e')}, 6) > 0.95
+),
+{_srp_band_cte('e')}
+select count(*)::bigint as n_true,
+       count(c.id_a)::bigint as n_hit,
+       round(count(c.id_a)::double / count(*), 4) as recall
+from truth t
+left join cand c on t.id_a = c.id_a and t.id_b = c.id_b
 """
 
 
@@ -1139,6 +1233,7 @@ QUERIES = {
     "ivf_cluster_sizes": (ivf_cluster_sizes, IVF_SQL),
     "ivf_recall_topk": (ivf_recall_topk, IVF_RECALL_SQL),
     "srp_near_dup": (srp_near_dup_q, SRP_NEAR_DUP_SQL),
+    "srp_recall": (srp_recall, SRP_RECALL_SQL),
     "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
     "quality_score": (quality_score_q, QUALITY_SQL),
     "lang_id": (lang_id_q, LANG_ID_SQL),
