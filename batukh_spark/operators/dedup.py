@@ -24,7 +24,8 @@ from batukh_spark.operators.text import tokens_col, word_shingles
 
 N_HASHES = 16          # minhash signature length
 N_BANDS = 4            # LSH bands (4 rows/band): ~Jaccard>0.5 candidates
-SIMHASH_BITS = 32      # simhash width (one md5 hex char per 4 bits)
+SIMHASH_BITS = 64      # simhash width (two md5s per token: 64 hex chars)
+SIMHASH_BANDS = 4      # 4 x 16-bit bands (Charikar/Manku-style buckets)
 
 
 def canonical_text(c: Column) -> Column:
@@ -160,10 +161,14 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
-    """(id, simhash: string of '0'/'1') — bit j votes +1 when the j-th hex
-    char of md5(token) is >= '8'.  One md5 per token yields 32 bits."""
+    """(id, simhash: string of '0'/'1') — bit j votes +1 when the j-th
+    hex char of the token's 64-char hash (md5(t) || md5('x:' || t)) is
+    >= '8'.  Two md5s per token yield the full 64-bit Charikar width;
+    scan-local (zero shuffle)."""
     toks = tokens_col(text_col)
-    hashes = F.transform(toks, lambda t: F.md5(t))
+    hashes = F.transform(
+        toks, lambda t: F.concat(F.md5(t),
+                                 F.md5(F.concat(F.lit("x:"), t))))
     bit_votes = F.transform(
         F.sequence(F.lit(1), F.lit(bits)),
         lambda j: F.aggregate(
@@ -175,6 +180,45 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     sig = F.concat_ws("", F.transform(
         bit_votes, lambda v: F.when(v > 0, "1").otherwise("0")))
     return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            bits: int = SIMHASH_BITS,
+                            n_bands: int = SIMHASH_BANDS) -> DataFrame:
+    """Banded simhash near-dup candidates: split the 64-bit signature
+    into 4 x 16-bit bands and bucket on each (Manku-style: any pair
+    within hamming distance n_bands - 1 is GUARANTEED a candidate by
+    pigeonhole; pairs further out collide only if their differing bits
+    cluster outside one band).  Returns (id_a, id_b, n_shared_bands,
+    hamming) with the exact 64-bit hamming as the verify column.
+
+    Scale: bucketed self-join on (band_id, band_sig) — never all-pairs;
+    the hamming verify joins signatures (64 chars) for candidates only.
+    """
+    rows_per_band = bits // n_bands
+    sigs = simhash(docs, id_col, text_col, bits)
+    band_cols = [F.substring("simhash", b * rows_per_band + 1,
+                             rows_per_band) for b in range(n_bands)]
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    return (cand
+            .join(sa, cand.id_a == F.col(f"sa.{id_col}"))
+            .join(sb, cand.id_b == F.col(f"sb.{id_col}"))
+            .select("id_a", "id_b", "n_shared_bands",
+                    hamming(F.col("sa.simhash"), F.col("sb.simhash"),
+                            bits).cast("long").alias("hamming")))
 
 
 def hamming(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:

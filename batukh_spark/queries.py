@@ -478,28 +478,65 @@ def simhash_adjacent_hamming(spark, sf):
                     .cast("long").alias("hamming")))
 
 
-SIMHASH_SQL = r"""
+# 64-bit simhash signature CTE (toks -> sigs), shared by the adjacent
+# kernel check and the banded candidate query; hash per token =
+# md5(t) || md5('x:' || t) exactly as operators.dedup.simhash
+_SIMHASH_SIGS_CTE = r"""
 with toks as (
   select doc_id,
          list_filter(regexp_split_to_array(lower(text), '\s+'),
                      x -> x <> '') as tokens
   from documents
+), hs as (
+  select doc_id,
+         list_transform(tokens, t -> md5(t) || md5('x:' || t)) as hs
+  from toks
 ), sigs as (
   select doc_id,
          list_aggregate(
-           list_transform(generate_series(1, 32), j ->
-             case when list_sum(list_transform(tokens, t ->
-                    case when substr(md5(t), j, 1) in
+           list_transform(generate_series(1, 64), j ->
+             case when list_sum(list_transform(hs, h ->
+                    case when substr(h, j, 1) in
                          ('8','9','a','b','c','d','e','f')
                     then 1 else -1 end)) > 0
              then '1' else '0' end), 'string_agg', '') as simhash
-  from toks
+  from hs
 )
-select a.doc_id as id_a, b.doc_id as id_b,
-       list_sum(list_transform(generate_series(1, 32), j ->
+"""
+
+_SQL_HAMMING64 = """list_sum(list_transform(generate_series(1, 64), j ->
          case when substr(a.simhash, j, 1) <> substr(b.simhash, j, 1)
-         then 1 else 0 end))::bigint as hamming
+         then 1 else 0 end))::bigint"""
+
+SIMHASH_SQL = _SIMHASH_SIGS_CTE + f"""
+select a.doc_id as id_a, b.doc_id as id_b,
+       {_SQL_HAMMING64} as hamming
 from sigs a join sigs b on b.doc_id = a.doc_id + 1
+"""
+
+
+def simhash_candidates(spark, sf):
+    """Banded simhash candidate generation (4 x 16-bit bands, OR
+    semantics — Manku-style) with exact-hamming verification."""
+    return dedup.simhash_candidate_pairs(t_spread(spark, sf, "documents"))
+
+
+SIMHASH_CANDIDATES_SQL = _SIMHASH_SIGS_CTE + f"""
+, bands as (
+  select doc_id, b as band_id, substr(simhash, b * 16 + 1, 16) as band_sig
+  from sigs cross join unnest([0, 1, 2, 3]) as u(b)
+), cand as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_shared_bands
+  from bands a
+  join bands b on a.band_id = b.band_id and a.band_sig = b.band_sig
+              and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select c.id_a, c.id_b, c.n_shared_bands,
+       {_SQL_HAMMING64} as hamming
+from cand c
+join sigs a on a.doc_id = c.id_a
+join sigs b on b.doc_id = c.id_b
 """
 
 
@@ -1226,6 +1263,7 @@ QUERIES = {
     "dedup_clusters": (dedup_clusters_q, DEDUP_CLUSTERS_SQL),
     "ngram_jaccard_adjacent": (ngram_jaccard_adjacent, NGRAM_JACCARD_SQL),
     "simhash_adjacent_hamming": (simhash_adjacent_hamming, SIMHASH_SQL),
+    "simhash_candidates": (simhash_candidates, SIMHASH_CANDIDATES_SQL),
     "fingerprint_winnow": (fingerprint_winnow, FINGERPRINT_SQL),
     "cosine_topk": (cosine_topk_q, COSINE_TOPK_SQL),
     "cosine_near_dup_adjacent": (cosine_near_dup_adjacent,
