@@ -267,39 +267,74 @@ def srp_near_dup_pairs(emb: DataFrame, n_bits: int = 32,
                     (cos > threshold).alias("is_near_dup")))
 
 
-def ivf_topk(emb: DataFrame, query_id: int, k: int = 10,
-             n_centroids: int = 8, nprobe: int = 3, dim: int = 64,
-             id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """Cluster-pruned ANN: search the `nprobe` clusters whose centroids
-    are closest to the query (multi-probe IVF — single-probe recall
-    degrades when true neighbours straddle cluster boundaries, which is
-    the norm for near-uniform embeddings).
-
-    At scale the assignment is precomputed and the table is partitioned
-    by cluster -> partition pruning turns this into an nprobe/n_centroids
-    scan; the probe-cluster choice is a tiny broadcast.
-    """
-    cents = kmeans_centroids(emb, k=n_centroids, dim=dim, id_col=id_col,
-                             vec_col=vec_col)
+def train_ivf(emb: DataFrame, index_dir: str, n_centroids: int = 8,
+              iters: int = 2, dim: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> None:
+    """Train ONCE -> persist the IVF index: (a) the k-row codebook at
+    `{index_dir}/codebook`, (b) the corpus with its cluster assignment
+    at `{index_dir}/vectors`, PARTITIONED BY cluster.  Serving
+    (`ivf_topk`) then runs zero Lloyd rounds and partition-prunes the
+    scan to the probed clusters — at 10^9 vectors an ANN query touches
+    nprobe/n_centroids of the data instead of re-training per query."""
+    cents = kmeans_centroids(emb, k=n_centroids, iters=iters, dim=dim,
+                             id_col=id_col, vec_col=vec_col)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/codebook")
     q = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
     assign = _assign(q, cents, id_col, dim=dim, k=n_centroids)
-    # rank ALL centroids by similarity to the query vector; probe top-n
-    packed = cents.groupBy().agg(
-        F.sort_array(F.collect_list(F.struct("c_id", "c_vec")))
-        .alias("cents"))
-    qd = F.transform(F.col("q"), lambda x: x.cast("double"))
-    q_probes = (q.filter(F.col(id_col) == query_id)
-                .crossJoin(F.broadcast(packed))
-                .select(F.posexplode(
-                    F.transform(F.col("cents"),
-                                lambda c: cosine(qd, c["c_vec"])))
-                        .alias("q_cluster", "sim"))
-                .orderBy(F.desc("sim"), F.asc("q_cluster"))
-                .limit(nprobe)
-                .select("q_cluster"))
-    with_cluster = emb.join(assign, id_col)
-    pruned = with_cluster.join(F.broadcast(q_probes),
-                               F.col("cluster") == F.col("q_cluster")) \
-        .drop("q_cluster")
+    (emb.join(assign, id_col)
+     .write.mode("overwrite").partitionBy("cluster")
+     .parquet(f"{index_dir}/vectors"))
+
+
+def _py_dot(u: list, v: list) -> float:
+    """Strict left-to-right dot product — the exact summation order of
+    Spark's aggregate(zip_with(...)) HOF and DuckDB's list_sum, so
+    driver-side probe ranking is bit-identical to the SQL oracle."""
+    s = 0.0
+    for x, y in zip(u, v):
+        s = s + x * y
+    return s
+
+
+def _py_quantized(v: list) -> list:
+    """Python mirror of `quantized`: round-half-AWAY(x * 1e6) as double
+    (Spark's F.round is HALF_UP; Python's round() is half-to-even and
+    must not be used here)."""
+    import math
+    out = []
+    for x in v:
+        s = float(x) * 1e6
+        out.append(math.floor(abs(s) + 0.5) * (1.0 if s >= 0 else -1.0))
+    return out
+
+
+def ivf_topk(spark, index_dir: str, query_id: int, k: int = 10,
+             nprobe: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Cluster-pruned ANN SERVING against a persisted `train_ivf` index:
+    multi-probe (single-probe recall degrades when true neighbours
+    straddle cluster boundaries, the norm for near-uniform embeddings).
+
+    The query path runs ZERO Lloyd rounds and contains no aggregation
+    over the corpus: probe choice is a k-row driver computation over
+    the persisted codebook (same collect class as the codebook itself,
+    in the oracle's exact left-to-right arithmetic), and the probe
+    filter is a LITERAL `IN`, so the parquet scan partition-prunes to
+    nprobe/n_centroids of the data.  The query's own cluster is always
+    its top-ranked probe (assignment and probe ranking share the same
+    argmax and tie-break), so the query row survives the pruning."""
+    import math
+    cents = sorted(spark.read.parquet(f"{index_dir}/codebook").collect(),
+                   key=lambda r: r.c_id)
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    qrow = (vectors.filter(F.col(id_col) == query_id)
+            .select(vec_col).collect())  # 1 row; filter pushed to scan
+    qd = _py_quantized(list(qrow[0][0]))
+    sims = [(_py_dot(qd, list(c.c_vec))
+             / (math.sqrt(_py_dot(qd, qd))
+                * math.sqrt(_py_dot(list(c.c_vec), list(c.c_vec)))),
+             c.c_id) for c in cents]
+    probes = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))
+              [:nprobe]]
+    pruned = vectors.filter(F.col("cluster").isin(probes)).drop("cluster")
     return cosine_topk(pruned, query_id, k, id_col, vec_col)

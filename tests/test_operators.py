@@ -94,14 +94,32 @@ def test_cosine_topk_vs_numpy(emb):
         assert math.isclose(r.cos_sim, round(w, 6), abs_tol=1e-6)
 
 
-def test_ivf_assignment_and_pruned_search(emb):
+def test_ivf_assignment_and_pruned_search(emb, tmp_path):
     assign = {r.vec_id: r.cluster
               for r in similarity.assign_ivf_clusters(emb, dim=8).collect()}
     assert set(assign) == set(range(40))
     assert set(assign.values()) <= set(range(8))
     assert assign[30] == assign[9]  # identical vectors, same cluster
-    got = similarity.ivf_topk(emb, query_id=9, k=3, dim=8).collect()
+    idx = str(tmp_path / "ivf_index")
+    similarity.train_ivf(emb, idx, dim=8)
+    got = similarity.ivf_topk(emb.sparkSession, idx,
+                              query_id=9, k=3).collect()
     assert got[0].vec_id == 30  # exact copy found within probed clusters
+
+
+def test_ivf_serving_plan_has_no_training(emb, tmp_path):
+    """The serving path must do ZERO Lloyd rounds: no aggregation over
+    the corpus anywhere in the plan (top-k is TakeOrderedAndProject,
+    not an Aggregate), and the probe filter must reach the scan as a
+    partition filter on the cluster directory column."""
+    idx = str(tmp_path / "ivf_index")
+    similarity.train_ivf(emb, idx, dim=8)
+    df = similarity.ivf_topk(emb.sparkSession, idx, query_id=9, k=3)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in optimized
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in physical
+    assert "cluster" in physical.split("PartitionFilters", 1)[1][:200]
 
 
 def test_kmeans_training_moves_and_is_deterministic(emb):
