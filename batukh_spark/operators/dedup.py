@@ -231,6 +231,43 @@ def hamming(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
             != F.substring(b, j.cast("int"), F.lit(1)), 1).otherwise(0))
 
 
+def keep_set(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """End-to-end per-document corpus verdict — the artifact a
+    pretraining pipeline actually consumes.  Returns (doc_id, keep,
+    reason) with reason in {unique, exact_dup, near_dup}:
+
+      exact_dup  a byte-identical canonical twin with a smaller id
+                 exists (dropped);
+      near_dup   member of a MinHash-LSH connected component and not
+                 its min-id keeper (dropped);
+      unique     kept (including the one keeper per near-dup cluster).
+
+    Precedence: exact_dup > near_dup (an exact twin is always also an
+    LSH pair, so the cluster keeper is never itself an exact dup).
+
+    Scale: composes exact_dedup (hash+id shuffle), lsh_candidate_pairs
+    (bucketed), resolve_clusters (per-round join+groupBy) — no stage
+    is all-pairs; the final assembly is two key joins on doc id."""
+    hashes = docs.select(
+        F.col(id_col),
+        F.md5(canonical_text(F.col(text_col))).alias("text_hash"))
+    exact = hashes.groupBy("text_hash").agg(F.min(id_col).alias("keep_id"))
+    with_exact = hashes.join(exact, "text_hash") \
+        .select(F.col(id_col), F.col("keep_id"))
+    clusters = resolve_clusters(
+        lsh_candidate_pairs(docs, id_col, text_col)) \
+        .select(F.col("doc_id").alias("__cid"), F.col("cluster_id"))
+    reason = (F.when(F.col(id_col) != F.col("keep_id"), "exact_dup")
+              .when(F.col("cluster_id").isNotNull()
+                    & (F.col(id_col) != F.col("cluster_id")), "near_dup")
+              .otherwise("unique"))
+    return (with_exact
+            .join(clusters, F.col(id_col) == F.col("__cid"), "left")
+            .select(F.col(id_col), (reason == "unique").alias("keep"),
+                    reason.alias("reason")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3) -> DataFrame:

@@ -466,6 +466,123 @@ from dsh a join dsh b on b.doc_id = a.doc_id + 1
 """
 
 
+def _lsh_chain_sql(src: str = "documents") -> str:
+    """toks/sh/sig/bands/cand CTE bodies over `src`(doc_id, text) —
+    the DuckDB mirror of minhash_signature + lsh_candidate_pairs,
+    parameterized by source so augmented corpora can reuse it."""
+    return rf"""toks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from {src}
+), sh as (
+  select doc_id,
+         case when len(tokens) >= 3 then
+           list_transform(generate_series(1, len(tokens) - 2),
+                          i -> tokens[i] || ' ' || tokens[i+1] || ' '
+                               || tokens[i+2])
+         else [] end as shingles
+  from toks
+), sig as (
+  select doc_id,
+         list_transform(generate_series(0, 15),
+            s -> list_min(list_transform(shingles,
+                   g -> md5(s::varchar || ':' || g)))) as sig
+  from sh where len(shingles) > 0
+), bands as (
+  select doc_id, b as band_id,
+         md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|'
+             || sig[b*4+4]) as band_hash
+  from sig cross join unnest([0, 1, 2, 3]) as u(b)
+), cand as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_shared_bands
+  from bands a
+  join bands b on a.band_id = b.band_id and a.band_hash = b.band_hash
+              and a.doc_id < b.doc_id
+  group by 1, 2
+)"""
+
+
+def lsh_jaccard_verified(spark, sf):
+    """The full candidate -> verify chain: MinHash-LSH candidate pairs
+    verified by exact k-word-shingle Jaccard, flagged at >= 0.5 (the
+    similarity the 4-band/4-row banding targets).  Shingle arrays ship
+    for candidates only — never all-pairs."""
+    docs = t_spread(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs).select("id_a", "id_b")
+    out = dedup.ngram_jaccard_pairs(docs, pairs)
+    j = F.round("jaccard", 6)
+    return out.select("id_a", "id_b", j.alias("jaccard"),
+                      (j >= 0.5).alias("is_dup"))
+
+
+_JACCARD_EXPR = """round(case when len(a.sh) + len(b.sh) = 0 then 0
+             else len(list_filter(a.sh, x -> list_contains(b.sh, x)))::double
+                  / (len(a.sh) + len(b.sh)
+                     - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+             end, 6)"""
+
+LSH_JACCARD_VERIFIED_SQL = f"""
+with {_lsh_chain_sql("documents")}
+, dsh as (select doc_id, list_distinct(shingles) as sh from sh)
+select c.id_a, c.id_b,
+       {_JACCARD_EXPR} as jaccard,
+       {_JACCARD_EXPR} >= 0.5 as is_dup
+from cand c
+join dsh a on a.doc_id = c.id_a
+join dsh b on b.doc_id = c.id_b
+"""
+
+
+def corpus_keep_set(spark, sf):
+    """End-to-end keep-set verdict (doc_id, keep, reason) over the
+    documents corpus augmented with planted exact twins (doc_id % 25
+    == 0 duplicated at doc_id + 1000000 — the raw corpus has no exact
+    dups, so the augmentation exercises the exact_dup > near_dup
+    precedence: a planted twin is also an LSH pair of its source)."""
+    docs = t_spread(spark, sf, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return dedup.keep_set(docs.unionByName(twins))
+
+
+CORPUS_KEEP_SET_SQL = f"""
+with recursive docs as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 1000000, text from documents where doc_id % 25 = 0
+), {_lsh_chain_sql("docs")}
+, edges as (
+  select id_a as src, id_b as dst from cand
+  union
+  select id_b, id_a from cand
+), reach(id, lab) as (
+  select src, src from edges
+  union
+  select e.src, r.lab from edges e join reach r on r.id = e.dst
+), clusters as (
+  select id as doc_id, min(lab) as cluster_id from reach group by id
+), hashes as (
+  select doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           as text_hash
+  from docs
+), exact as (
+  select text_hash, min(doc_id) as keep_id from hashes group by 1
+), verdict as (
+  select h.doc_id,
+         case when h.doc_id <> e.keep_id then 'exact_dup'
+              when c.cluster_id is not null and h.doc_id <> c.cluster_id
+                   then 'near_dup'
+              else 'unique' end as reason
+  from hashes h
+  join exact e using (text_hash)
+  left join clusters c using (doc_id)
+)
+select doc_id, reason = 'unique' as keep, reason from verdict
+"""
+
+
 def simhash_adjacent_hamming(spark, sf):
     docs = t_spread(spark, sf, "documents")
     sigs = dedup.simhash(docs)
@@ -1281,6 +1398,9 @@ QUERIES = {
     "minhash_lsh_pairs": (minhash_lsh_pairs_q, MINHASH_LSH_SQL),
     "dedup_clusters": (dedup_clusters_q, DEDUP_CLUSTERS_SQL),
     "ngram_jaccard_adjacent": (ngram_jaccard_adjacent, NGRAM_JACCARD_SQL),
+    "lsh_jaccard_verified": (lsh_jaccard_verified,
+                             LSH_JACCARD_VERIFIED_SQL),
+    "corpus_keep_set": (corpus_keep_set, CORPUS_KEEP_SET_SQL),
     "simhash_adjacent_hamming": (simhash_adjacent_hamming, SIMHASH_SQL),
     "simhash_candidates": (simhash_candidates, SIMHASH_CANDIDATES_SQL),
     "fingerprint_winnow": (fingerprint_winnow, FINGERPRINT_SQL),
