@@ -11,17 +11,39 @@ from pyspark.sql import functions as F
 
 from batukh_spark.operators.text import char_grams_md5, tokens_col
 
-# tiny per-language stopword profiles for the n-gram/stopword heuristic;
-# deterministic + identical in the SQL oracle
+# per-language stopword profiles for the stopword-hit heuristic —
+# 12 languages x 16 high-frequency function words; deterministic
+# literals so the SQL oracle reproduces every hit count.  (Whitespace
+# tokenization limits zh/ja to texts with segmented tokens — an honest
+# limitation of the stdlib-only sandbox, documented here.)
 LANG_PROFILES = {
-    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
-    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
-    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
-    "zh": ["的", "是", "不", "了", "在", "人", "有", "我"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that",
+           "it", "for", "on", "with", "as", "at", "this", "but"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu",
+           "mit", "von", "für", "auf", "dem", "den", "sie", "ich"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es",
+           "los", "se", "no", "por", "con", "para", "una", "del"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une",
+           "dans", "que", "pour", "qui", "sur", "pas", "au", "ce"],
+    "it": ["il", "di", "che", "e", "un", "per", "con", "non",
+           "una", "sono", "del", "si", "più", "nel", "alla", "come"],
+    "pt": ["o", "de", "que", "e", "do", "da", "em", "um",
+           "para", "com", "não", "uma", "os", "no", "se", "mais"],
+    "nl": ["de", "het", "een", "en", "van", "in", "is", "dat",
+           "op", "te", "met", "voor", "niet", "zijn", "aan", "er"],
+    "sv": ["och", "det", "att", "i", "en", "som", "är", "av",
+           "på", "för", "med", "den", "till", "inte", "om", "han"],
+    "pl": ["i", "w", "nie", "na", "się", "z", "do", "że",
+           "to", "jest", "jak", "po", "co", "tak", "za", "od"],
+    "ru": ["и", "в", "не", "на", "что", "я", "с", "он",
+           "как", "это", "по", "но", "его", "к", "у", "же"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我",
+           "他", "这", "个", "们", "中", "来", "上", "大"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で", "て",
+           "と", "し", "れ", "さ", "ある", "いる", "も", "する"],
 }
 
-STOPWORDS_EN = LANG_PROFILES["en"]
+STOPWORDS_EN = LANG_PROFILES["en"][:8]
 
 # Pre-tokenizer word/number/symbol segmentation (shared with the SQL
 # oracle).  This is NOT a trained BPE: no tokenizer library ships in
@@ -44,14 +66,47 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id",
         F.length(text_col).alias("n_chars"))
 
 
+def _dup_frac(parts) -> "F.Column":
+    """(n - n_distinct) / n over a trimmed, non-empty string array."""
+    cleaned = F.filter(F.transform(parts, lambda s: F.trim(s)),
+                       lambda s: s != "")
+    n = F.size(cleaned)
+    return F.when(n > 0,
+                  (n - F.size(F.array_distinct(cleaned))) / n) \
+        .otherwise(0.0)
+
+
+def _top_run(sorted_arr) -> "F.Column":
+    """Longest run of equal adjacent elements in a SORTED array == the
+    max element frequency — O(n log n) sort + one O(n) fold, scan-local
+    (the quadratic distinct x filter form would blow up on long docs).
+    """
+    stepped = F.aggregate(
+        sorted_arr,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(acc["best"],
+                       F.when(x == acc["prev"], acc["run"] + 1)
+                       .otherwise(F.lit(1))).alias("best")))
+    return stepped["best"]
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """Length / mean-word-length / stopword-ratio quality heuristic.
+    """C4/Gopher-shaped quality gate: length saturation, stopword-ratio
+    and mean-word-length bands, plus the Gopher REPETITION rules —
+    duplicate-line fraction, duplicate-paragraph fraction, and the
+    share of the most frequent word 2-gram.
 
-    score = 0.4*saturation(n_words/100) + 0.3*stopword_ratio-band
-          + 0.3*mean-word-length-band, rounded to 4 — a standard
-    pretraining-corpus quality gate shape (C4/Gopher-style rules).
-    """
+    score = 0.3*saturation(n_words/100) + 0.15*stopword-band
+          + 0.15*word-length-band + 0.2*(dup_line_frac <= 0.30)
+          + 0.2*(top_bigram_frac <= 0.20), rounded to 4.  Everything is
+    a scan-local Catalyst expression (the top-bigram count folds over a
+    sorted array instead of shuffling token frequencies)."""
     toks = tokens_col(text_col)
     n_words = F.size(toks)
     sw = F.array([F.lit(w) for w in STOPWORDS_EN])
@@ -61,17 +116,36 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
                                   lambda a, t: a + F.length(t))
                       / n_words).otherwise(0.0)
     stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(0.0)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    dup_line = _dup_frac(F.split(c, "\n"))
+    dup_para = _dup_frac(F.split(c, "\n\n"))
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(F.sequence(F.lit(1), n_words - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i.cast("int")),
+                        F.element_at(toks, (i + 1).cast("int"))))) \
+        .otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams)
+    top_bigram = F.when(n_bigrams > 0,
+                        _top_run(F.array_sort(bigrams)) / n_bigrams) \
+        .otherwise(0.0)
     score = (
-        F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6),
-                              1.0).otherwise(0.0)
-        + F.lit(0.3) * F.when((mean_len >= 3.0) & (mean_len <= 12.0),
-                              1.0).otherwise(0.0))
+        F.lit(0.3) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.15) * F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6),
+                               1.0).otherwise(0.0)
+        + F.lit(0.15) * F.when((mean_len >= 3.0) & (mean_len <= 12.0),
+                               1.0).otherwise(0.0)
+        + F.lit(0.2) * F.when(dup_line <= 0.30, 1.0).otherwise(0.0)
+        + F.lit(0.2) * F.when(top_bigram <= 0.20, 1.0).otherwise(0.0))
     return docs.select(
         F.col(id_col),
         n_words.alias("n_words"),
         F.round(mean_len, 4).alias("mean_word_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(dup_line, 4).alias("dup_line_frac"),
+        F.round(dup_para, 4).alias("dup_para_frac"),
+        F.round(top_bigram, 4).alias("top_bigram_frac"),
         F.round(score, 4).alias("quality"))
 
 

@@ -1020,14 +1020,28 @@ def quality_score_q(spark, sf):
     out = textstats.quality_score(t_spread(spark, sf, "documents"))
     return out.select("doc_id",
                       F.col("n_words").cast("long").alias("n_words"),
-                      "mean_word_len", "stopword_ratio", "quality")
+                      "mean_word_len", "stopword_ratio",
+                      "dup_line_frac", "dup_para_frac",
+                      "top_bigram_frac", "quality")
 
 
 QUALITY_SQL = r"""
 with toks as (
-  select doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-                             x -> x <> '') as tokens
+  select doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
   from documents
+), parts as (
+  select doc_id, tokens,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    s -> trim(s)), s -> s <> '') as lines,
+         list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+                                    s -> trim(s)), s -> s <> '') as paras,
+         case when len(tokens) >= 2 then
+           list_transform(generate_series(1, len(tokens) - 1),
+                          i -> tokens[i] || ' ' || tokens[i+1])
+         else [] end as bg
+  from toks
 ), s as (
   select doc_id, len(tokens) as n_words,
          case when len(tokens) > 0 then
@@ -1037,17 +1051,34 @@ with toks as (
            len(list_filter(tokens, t -> list_contains(
              ['the','and','of','to','a','in','is','that'], t)))
            / len(tokens)
-         else 0.0 end as stop_ratio
-  from toks
+         else 0.0 end as stop_ratio,
+         case when len(lines) > 0 then
+           (len(lines) - len(list_distinct(lines))) / len(lines)
+         else 0.0 end as dup_line,
+         case when len(paras) > 0 then
+           (len(paras) - len(list_distinct(paras))) / len(paras)
+         else 0.0 end as dup_para,
+         case when len(bg) > 0 then
+           list_max(list_transform(list_distinct(bg),
+                    b -> len(list_filter(bg, x -> x = b)))) / len(bg)
+         else 0.0 end as top_bigram
+  from parts
 )
 select doc_id, n_words,
        round(mean_word_len, 4) as mean_word_len,
        round(stop_ratio, 4) as stopword_ratio,
-       round(0.4 * least(n_words / 100.0, 1.0)
-             + 0.3 * case when stop_ratio >= 0.01 and stop_ratio <= 0.6
-                     then 1.0 else 0.0 end
-             + 0.3 * case when mean_word_len >= 3.0 and mean_word_len <= 12.0
-                     then 1.0 else 0.0 end, 4) as quality
+       round(dup_line, 4) as dup_line_frac,
+       round(dup_para, 4) as dup_para_frac,
+       round(top_bigram, 4) as top_bigram_frac,
+       round(0.3 * least(n_words / 100.0, 1.0)
+             + 0.15 * case when stop_ratio >= 0.01 and stop_ratio <= 0.6
+                      then 1.0 else 0.0 end
+             + 0.15 * case when mean_word_len >= 3.0
+                                and mean_word_len <= 12.0
+                      then 1.0 else 0.0 end
+             + 0.2 * case when dup_line <= 0.30 then 1.0 else 0.0 end
+             + 0.2 * case when top_bigram <= 0.20 then 1.0 else 0.0 end,
+             4) as quality
 from s
 """
 
@@ -1058,38 +1089,37 @@ def lang_id_q(spark, sf):
                       F.col("hits").cast("long").alias("hits"))
 
 
-_PROFILE_SQL = {
-    "de": "['der','die','und','das','ist','nicht','ein','zu']",
-    "en": "['the','and','of','to','a','in','is','that']",
-    "es": "['el','la','de','que','y','en','un','es']",
-    "fr": "['le','la','et','les','des','est','un','une']",
-    "zh": "['的','是','不','了','在','人','有','我']",
-}
-
-LANG_ID_SQL = r"""
+def _lang_id_sql() -> str:
+    """Generated from the SAME LANG_PROFILES literals the Spark
+    operator uses (12 languages x 16 stopwords) — argmax of per-lang
+    hits, ties broken by language code asc."""
+    from batukh_spark.operators.textstats import LANG_PROFILES
+    vals = ",\n         ".join(
+        "('{}', [{}])".format(
+            lang, ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]))
+        for lang in sorted(LANG_PROFILES))
+    return rf"""
 with toks as (
   select doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                              x -> x <> '') as tokens
   from documents
+), langs(lang, prof) as (
+  values {vals}
 ), h as (
-  select doc_id,
-         len(list_filter(tokens, t -> list_contains({de}, t))) as h_de,
-         len(list_filter(tokens, t -> list_contains({en}, t))) as h_en,
-         len(list_filter(tokens, t -> list_contains({es}, t))) as h_es,
-         len(list_filter(tokens, t -> list_contains({fr}, t))) as h_fr,
-         len(list_filter(tokens, t -> list_contains({zh}, t))) as h_zh
-  from toks
+  select doc_id, lang,
+         len(list_filter(tokens, t -> list_contains(prof, t))) as hits
+  from toks cross join langs
+), r as (
+  select doc_id, lang, hits,
+         row_number() over (partition by doc_id
+                            order by hits desc, lang asc) as rn
+  from h
 )
-select doc_id,
-       case when h_de >= h_en and h_de >= h_es and h_de >= h_fr
-                 and h_de >= h_zh then 'de'
-            when h_en >= h_es and h_en >= h_fr and h_en >= h_zh then 'en'
-            when h_es >= h_fr and h_es >= h_zh then 'es'
-            when h_fr >= h_zh then 'fr'
-            else 'zh' end as pred_lang,
-       greatest(h_de, h_en, h_es, h_fr, h_zh) as hits
-from h
-""".format(**_PROFILE_SQL)
+select doc_id, lang as pred_lang, hits from r where rn = 1
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
 
 
 def media_features_q(spark, sf):

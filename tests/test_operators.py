@@ -172,6 +172,38 @@ def test_quality_and_langid(spark):
     assert langs[2] == "de"
 
 
+def test_quality_repetition_rules(spark):
+    """Gopher repetition gates: dup-line fraction and top-2-gram share
+    penalize repetitive documents."""
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "alpha beta\nalpha beta\nalpha beta\ngamma delta"),
+         (3, "the quick brown fox jumps over a lazy dog today and "
+             "is that not nice")],
+        "doc_id long, text string")
+    q = {r.doc_id: r for r in textstats.quality_score(df).collect()}
+    assert q[1].top_bigram_frac == 1.0          # all bigrams identical
+    assert q[2].dup_line_frac == 0.5            # 4 lines, 2 duplicates
+    assert q[3].dup_line_frac == 0.0
+    assert q[3].top_bigram_frac < 0.2
+    assert q[1].quality < q[3].quality
+    assert q[2].quality < q[3].quality
+
+
+def test_lang_id_wide_profiles(spark):
+    df = spark.createDataFrame(
+        [(1, "il problema non è che sono più alla come un altro"),
+         (2, "o problema não é que para com uma os mais"),
+         (3, "и в не на что это по как он же"),
+         (4, "de het een en van op te met voor niet")],
+        "doc_id long, text string")
+    langs = {r.doc_id: r.pred_lang for r in textstats.lang_id(df).collect()}
+    assert langs[1] == "it"
+    assert langs[2] == "pt"
+    assert langs[3] == "ru"
+    assert langs[4] == "nl"
+
+
 def test_fingerprint_winnow(spark):
     df = spark.createDataFrame(
         [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnop"), (3, "short")],
