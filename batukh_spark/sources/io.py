@@ -28,13 +28,40 @@ def _is_catalog_table(spark: SparkSession, ident: str) -> bool:
     return spark.conf.get(f"spark.sql.catalog.{cat}", None) is not None
 
 
-def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
+def _looks_jsonl(source: str) -> bool:
+    """JSONL detection: path suffix OR — for a local directory whose
+    name lacks a suffix (the common dump layout: dir of .jsonl part
+    files) — the contents.  Non-local URIs (s3:// etc.) can't be
+    listed cheaply here; pass fmt='jsonl' explicitly for those."""
+    import os
+    s = source.rstrip("/")
+    if s.endswith((".jsonl", ".json")):
+        return True
+    if os.path.isdir(s):
+        try:
+            names = os.listdir(s)
+        except OSError:
+            return False
+        data = [n for n in names if not n.startswith(("_", "."))]
+        return bool(data) and all(n.endswith((".jsonl", ".json"))
+                                  for n in data)
+    return False
+
+
+def read_transcripts(spark: SparkSession, source: str,
+                     fmt: str | None = None) -> DataFrame:
     """source = catalog table ident, parquet path/dir, or JSONL
     (.jsonl/.json) path/dir — web-scale transcript dumps commonly
-    arrive as line-delimited JSON before compaction to parquet."""
+    arrive as line-delimited JSON before compaction to parquet.
+    `fmt` ('jsonl' | 'parquet') overrides detection; without it, JSONL
+    is detected by path suffix or by sniffing a local directory's
+    contents (a dir of .jsonl part files routes correctly even when
+    the dir name has no suffix)."""
     if _is_catalog_table(spark, source):
         return spark.read.table(source)
-    if source.rstrip("/").endswith((".jsonl", ".json")):
+    if fmt is None:
+        fmt = "jsonl" if _looks_jsonl(source) else "parquet"
+    if fmt in ("jsonl", "json"):
         from batukh_spark.schema import TRANSCRIPTS_SCHEMA
         return (spark.read.schema(TRANSCRIPTS_SCHEMA)
                 .option("timestampFormat",
@@ -65,20 +92,38 @@ def append_manifest(df: DataFrame, target: str) -> None:
 
 
 def rewrite_manifest(df: DataFrame, target: str) -> None:
-    """Replace the manifest table contents (retention compaction).  The
-    caller must have materialized `df` (e.g. localCheckpoint) if it was
-    derived from the same path being overwritten."""
+    """Replace the manifest table contents (retention compaction)
+    ATOMICALLY: the survivor rows are written to a temp sibling FIRST
+    (which also materializes `df` while `target` is still readable),
+    then swapped in via rename, keeping the previous manifest at
+    `.old` until the swap completes.  A crash at any point leaves
+    either the old or the new manifest recoverable (read_manifest
+    falls back to `.old`) — never an empty path, which would force a
+    full re-extraction on the next resume.  The Iceberg branch uses
+    the catalog's transactional replace()."""
     spark = df.sparkSession
     if _is_catalog_table(spark, target):
         df.writeTo(target).replace()
         return
-    df.write.mode("overwrite").parquet(target)
+    import os
+    import shutil
+    base = target.rstrip("/")
+    tmp, old = base + ".tmp", base + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(base):
+        os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def read_manifest(spark: SparkSession, target: str) -> DataFrame | None:
-    try:
-        if _is_catalog_table(spark, target):
-            return spark.read.table(target)
-        return spark.read.parquet(target)
-    except Exception:
-        return None  # first run: no manifest yet
+    for path in (target, target.rstrip("/") + ".old"):
+        try:
+            if _is_catalog_table(spark, path):
+                return spark.read.table(path)
+            return spark.read.parquet(path)
+        except Exception:
+            continue  # first run (no manifest yet) or mid-swap crash
+    return None

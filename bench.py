@@ -10,7 +10,7 @@ Env:
   BATUKH_BENCH_CONVS   corpus size in conversations (default 18000,
                        ~250k turns); corpus parquet is generated once and
                        cached under /tmp keyed by size+seed
-  BATUKH_BENCH_REPS    extraction repetitions (default 3); the headline
+  BATUKH_BENCH_REPS    extraction repetitions (default 5); the headline
                        turns/sec is the MEDIAN across reps and all raw
                        samples are reported (this host is shared-tenancy
                        with 2-3x load swings; best-of-N overstates)
@@ -38,10 +38,14 @@ BENCH_QUERIES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
     "top3_orders_per_cust", "sessionize_events", "dedup_exact",
     "minhash_lsh_pairs", "dedup_clusters", "simhash_adjacent_hamming",
+    "simhash_candidates", "lsh_jaccard_verified", "corpus_keep_set",
     "fingerprint_winnow", "token_counts", "quality_score", "lang_id",
     "cosine_topk", "ivf_cluster_sizes", "srp_near_dup", "media_features",
     "video_frame_sample",
 ]
+# srp_recall is excluded: its brute-force TRUTH SET is intentionally
+# all-pairs (it exists to measure the banded path's recall) and runs at
+# the driver's sf0.01 validation scale, not as a throughput benchmark.
 
 
 def corpus_path() -> str:
