@@ -199,8 +199,11 @@ def main():
 
 
 def write_md(summary, samples, med, convs):
+    """Raw per-run scaling report -> BENCH/SCALING.md.  The curated
+    BENCH/BASELINE.md (headline + methodology + adjudications) is
+    maintained by hand and must not be clobbered by a rerun."""
     lines = [
-        "# BENCH — measured baseline & scaling evidence",
+        "# BENCH — raw scaling run report (generated by scaling.py)",
         "",
         "Headline metric (BASELINE.md): extracted **turns/sec** over the",
         f"deterministic synthetic transcript corpus ({convs} conversations,",
@@ -252,7 +255,7 @@ def write_md(summary, samples, med, convs):
         "published rate by ~35x, and the distributed pipeline multiplies",
         "that by core count.",
     ]
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    path = os.path.join(REPO, "BENCH", "SCALING.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {path}", file=sys.stderr)
