@@ -169,14 +169,35 @@ def main():
                       3)
                 for l, h in zip(samples[lo], samples[hi])]
 
+    def paired_norm_effs(lo, hi):
+        """Capacity-normalized per-window efficiency: throughput per
+        HOST CORE ACTUALLY CONSUMED (bench.py measures whole-box busy
+        cores per rep).  In local mode the shared JVM free-rides on
+        idle host cores beyond local[N]'s N task slots — e.g. a
+        'local[2]' run consumes ~2.4 cores — so the raw pairing
+        under-credits the 4N level; a real N-core executor machine has
+        no spare capacity to free-ride on."""
+        if lo not in samples or hi not in samples:
+            return None
+        out = []
+        for l, h in zip(samples[lo], samples[hi]):
+            cl = l.get("host_cores_busy") or lo
+            ch = h.get("host_cores_busy") or hi
+            out.append(round((h["turns_per_sec"] / ch)
+                             / (l["turns_per_sec"] / cl), 3))
+        return out
+
     pairs = {}
     for lo in levels:           # every N -> 4N pair present in the sweep
         hi = lo * 4
         if hi in levels:
             effs = paired_effs(lo, hi)
+            neffs = paired_norm_effs(lo, hi)
             pairs[f"{lo}_to_{hi}"] = {
                 "per_window": effs,
-                "median": round(statistics.median(effs), 3)}
+                "median": round(statistics.median(effs), 3),
+                "capacity_norm_per_window": neffs,
+                "capacity_norm_median": round(statistics.median(neffs), 3)}
 
     summary = {
         "metric": "extraction_scaling",
@@ -228,7 +249,10 @@ def write_md(summary, samples, med, convs):
         lo, hi = key.split("_to_")
         lines.append(
             f"- {lo} -> {hi} cores: per-window {p['per_window']}, "
-            f"median **{p['median']}**")
+            f"median **{p['median']}**; capacity-normalized "
+            f"(throughput per consumed host core) "
+            f"{p['capacity_norm_per_window']}, "
+            f"median **{p['capacity_norm_median']}**")
     lines += [
         "",
         "Each window pairs the two levels' runs from the SAME",

@@ -31,7 +31,8 @@ def get_spark(app_name: str = "batukh-spark", cores: int | None = None,
         # (~56 MB/batch at ~1.4 KB/turn; sized to stay far under executor
         # memory at 32 concurrent workers)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "40000")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -98,16 +98,30 @@ def bench_extraction(spark) -> dict:
     while time.time() - t_gate < 120 and _busy() > 0.10:
         pass
 
-    walls, rows, chars, errors = [], 0, 0, 0
+    def _cpu_snap():
+        v = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return sum(v), v[3] + v[4]
+
+    walls, host_cores, rows, chars, errors = [], [], 0, 0, 0
     for rep in range(max(1, REPS)):
         workdir = tempfile.mkdtemp(prefix="batukh_bench_out_")
         try:
+            c0_tot, c0_idle = _cpu_snap()
             t0 = time.time()
             pipeline.run_extraction(
                 spark, path, f"{workdir}/out",
                 metrics=f"{workdir}/metrics",
                 run_id=f"bench{rep}", mode="files")
             walls.append(time.time() - t0)
+            c1_tot, c1_idle = _cpu_snap()
+            # WHOLE-HOST cores actually consumed during the rep: in
+            # local mode the shared JVM (scan, Arrow IPC, sort, codec)
+            # free-rides on idle host cores beyond local[N]'s N task
+            # slots, so a "2-core" run consumes more than 2 cores —
+            # this measures the true capacity each level uses (a real
+            # N-core executor machine has no such spare capacity)
+            bf = 1.0 - (c1_idle - c0_idle) / max(1, c1_tot - c0_tot)
+            host_cores.append(round(bf * (os.cpu_count() or 32), 2))
             if rep == 0:
                 agg = (spark.read.parquet(f"{workdir}/out")
                        .agg(F.count(F.lit(1)).alias("rows"),
@@ -126,6 +140,8 @@ def bench_extraction(spark) -> dict:
             "reps": len(walls),
             "wall_s_samples": [round(w, 3) for w in walls],
             "turns_per_sec_samples": [round(rows / w, 1) for w in walls],
+            "host_cores_busy_samples": host_cores,
+            "host_cores_busy": round(statistics.median(host_cores), 2),
             "extracted_chars": chars, "errors": errors,
             "cpus": CPUS, "n_convs": N_CONVS}
 

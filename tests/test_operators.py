@@ -65,6 +65,38 @@ def test_ngram_jaccard(spark, docs):
     assert out[(0, 4)] == 0.0
 
 
+def test_keep_set_verdicts(spark):
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again today")
+    docs = spark.createDataFrame(
+        [(0, base),
+         (1, base),              # exact dup of 0 (also an LSH pair)
+         (2, base + " extra"),   # near dup of 0 (shares most shingles)
+         (3, "completely different text about spark engines and "
+             "parquet files and nothing else shared")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.keep_set(docs).collect()}
+    assert out[0].keep and out[0].reason == "unique"
+    assert not out[1].keep and out[1].reason == "exact_dup"
+    assert not out[2].keep and out[2].reason == "near_dup"
+    assert out[3].keep and out[3].reason == "unique"
+
+
+def test_simhash_banded_candidates(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = spark.createDataFrame(
+        [(1, a), (2, a),  # identical -> hamming 0, all 4 bands match
+         (3, "totally unrelated words nothing shared here at all")],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r
+             for r in dedup.simhash_candidate_pairs(docs).collect()}
+    assert pairs[(1, 2)].hamming == 0
+    assert pairs[(1, 2)].n_shared_bands == 4
+    for (ia, ib), r in pairs.items():
+        if 3 in (ia, ib):
+            assert r.hamming > 0  # unrelated doc never at distance 0
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     import random
