@@ -181,8 +181,10 @@ def main():
             return None
         out = []
         for l, h in zip(samples[lo], samples[hi]):
-            cl = l.get("host_cores_busy") or lo
-            ch = h.get("host_cores_busy") or hi
+            # prefer OWN-process-tree cores (co-tenant-immune); fall
+            # back to whole-box busy, then the nominal level
+            cl = l.get("own_cores_busy") or l.get("host_cores_busy") or lo
+            ch = h.get("own_cores_busy") or h.get("host_cores_busy") or hi
             out.append(round((h["turns_per_sec"] / ch)
                              / (l["turns_per_sec"] / cl), 3))
         return out

@@ -102,17 +102,46 @@ def bench_extraction(spark) -> dict:
         v = list(map(int, open("/proc/stat").readline().split()[1:]))
         return sum(v), v[3] + v[4]
 
-    walls, host_cores, rows, chars, errors = [], [], 0, 0, 0
+    def _tree_cpu_s() -> float:
+        """CPU seconds consumed by THIS process and all live
+        descendants (JVM + pyspark daemon/workers) — own-consumption
+        attribution that, unlike whole-box /proc/stat, is immune to
+        co-tenant load.  Long-lived processes dominate here (the JVM
+        and reused python daemons); short-lived workers that die
+        between snapshots are a small undercount."""
+        import glob
+        me = os.getpid()
+        procs = {}
+        for stat in glob.glob("/proc/[0-9]*/stat"):
+            try:
+                parts = open(stat).read().rsplit(")", 1)[1].split()
+                pid = int(stat.split("/")[2])
+                ppid = int(parts[1])
+                cpu = (int(parts[11]) + int(parts[12])) / \
+                    os.sysconf("SC_CLK_TCK")
+                procs[pid] = (ppid, cpu)
+            except (OSError, IndexError, ValueError):
+                continue
+        total, frontier = 0.0, {me}
+        while frontier:
+            kids = {p for p, (pp, _) in procs.items() if pp in frontier}
+            total += sum(procs[p][1] for p in frontier if p in procs)
+            frontier = kids
+        return total
+
+    walls, host_cores, own_cores, rows, chars, errors = [], [], [], 0, 0, 0
     for rep in range(max(1, REPS)):
         workdir = tempfile.mkdtemp(prefix="batukh_bench_out_")
         try:
             c0_tot, c0_idle = _cpu_snap()
+            o0 = _tree_cpu_s()
             t0 = time.time()
             pipeline.run_extraction(
                 spark, path, f"{workdir}/out",
                 metrics=f"{workdir}/metrics",
                 run_id=f"bench{rep}", mode="files")
             walls.append(time.time() - t0)
+            own_cores.append(round((_tree_cpu_s() - o0) / walls[-1], 2))
             c1_tot, c1_idle = _cpu_snap()
             # WHOLE-HOST cores actually consumed during the rep: in
             # local mode the shared JVM (scan, Arrow IPC, sort, codec)
@@ -142,6 +171,8 @@ def bench_extraction(spark) -> dict:
             "turns_per_sec_samples": [round(rows / w, 1) for w in walls],
             "host_cores_busy_samples": host_cores,
             "host_cores_busy": round(statistics.median(host_cores), 2),
+            "own_cores_busy_samples": own_cores,
+            "own_cores_busy": round(statistics.median(own_cores), 2),
             "extracted_chars": chars, "errors": errors,
             "cpus": CPUS, "n_convs": N_CONVS}
 
