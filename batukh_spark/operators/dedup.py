@@ -200,25 +200,23 @@ def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     sigs = simhash(docs, id_col, text_col, bits)
     band_cols = [F.substring("simhash", b * rows_per_band + 1,
                              rows_per_band) for b in range(n_bands)]
+    # the full signature rides through the explode (64 bytes/row) so
+    # the hamming verify needs NO re-join back to the corpus — the
+    # expensive token-vote signature is computed exactly once per side
+    # of the band self-join, never a third/fourth time
     bands = sigs.select(
-        F.col(id_col),
+        F.col(id_col), F.col("simhash"),
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"))
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+    ham = hamming(F.col("a.simhash"), F.col("b.simhash"), bits)
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                    & (F.col("a.band_sig") == F.col("b.band_sig"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("n_shared_bands")))
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
-    return (cand
-            .join(sa, cand.id_a == F.col(f"sa.{id_col}"))
-            .join(sb, cand.id_b == F.col(f"sb.{id_col}"))
-            .select("id_a", "id_b", "n_shared_bands",
-                    hamming(F.col("sa.simhash"), F.col("sb.simhash"),
-                            bits).cast("long").alias("hamming")))
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"),
+                 F.min(ham).cast("long").alias("hamming")))
 
 
 def hamming(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
