@@ -69,6 +69,31 @@ def windowed_turn_counts(spark: SparkSession, source_dir: str,
                  F.sum(F.length("text")).alias("n_chars")))
 
 
+def streaming_exact_dedup(spark: SparkSession, source_dir: str,
+                          watermark: str = "2 hours"):
+    """Streaming twin of `operators.dedup.exact_dedup`: keep the first
+    arrival per canonical-text hash, with dedup STATE BOUNDED by the
+    event-time watermark (`dropDuplicatesWithinWatermark` evicts a
+    hash once the watermark passes its event time).  At 10^12-turn
+    ingest the state size tracks the late-data horizon, not the corpus
+    — the property that makes streaming dedup deployable at all.
+
+    Returns an unstarted streaming DataFrame (caller picks the sink).
+    """
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.dedup import canonical_text
+
+    stream = (spark.readStream
+              .schema(TRANSCRIPTS_SCHEMA)
+              .parquet(source_dir))
+    hashed = stream.withColumn(
+        "text_hash", F.md5(canonical_text(F.col("text"))))
+    return (hashed
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["text_hash"]))
+
+
 # output schema of the stateful conversation assembler
 CONV_STATE_SCHEMA = ("conv_id string, n_turns long, last_turn_idx int, "
                      "n_tool_turns long")

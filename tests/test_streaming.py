@@ -54,6 +54,28 @@ def test_windowed_turn_counts_with_watermark(spark, dirs):
     assert all(r.w.start is not None for r in rows)
 
 
+def test_streaming_exact_dedup_matches_batch(spark, dirs):
+    """Streaming dedup keeps exactly one row per canonical-text hash,
+    matching the batch exact_dedup group count."""
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.dedup import canonical_text
+    from batukh_spark.streaming.incremental import streaming_exact_dedup
+
+    src = make_transcripts(spark, 15, partitions=2)
+    src.write.parquet(dirs["src"])
+    q = (streaming_exact_dedup(spark, dirs["src"])
+         .writeStream.format("memory").queryName("sed")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select text_hash from sed").collect()
+    hashes = [r.text_hash for r in rows]
+    assert len(hashes) == len(set(hashes))  # one survivor per hash
+    n_distinct = (src.select(F.md5(canonical_text(F.col("text"))))
+                  .distinct().count())
+    assert len(hashes) == n_distinct        # same groups as batch dedup
+
+
 def test_conv_progress_stateful(spark, dirs):
     from batukh_spark.streaming.incremental import conv_progress_stateful
     src = make_transcripts(spark, 12, partitions=2)
