@@ -1122,6 +1122,35 @@ select doc_id, lang as pred_lang, hits from r where rn = 1
 LANG_ID_SQL = _lang_id_sql()
 
 
+def chunk_documents_q(spark, sf):
+    """Context-window chunking: 64-token chunks with 8-token overlap
+    (stride 56) over canonical whitespace tokens — one row per chunk,
+    scan-local fan-out."""
+    from batukh_spark.operators.text import chunk_documents
+    return chunk_documents(t_spread(spark, sf, "documents"),
+                           max_tokens=64, overlap=8)
+
+
+CHUNK_DOCUMENTS_SQL = r"""
+with toks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from documents
+), c as (
+  select doc_id, tokens, len(tokens) as n,
+         case when len(tokens) <= 0 then 0
+              when len(tokens) <= 64 then 1
+              else 1 + ceil((len(tokens) - 64) / 56.0)::int end as n_chunks
+  from toks
+)
+select doc_id, i::bigint as chunk_idx,
+       least(64, n - i * 56)::bigint as n_tokens,
+       array_to_string(tokens[i*56+1 : i*56+64], ' ') as chunk_text
+from c, unnest(range(0, n_chunks::bigint)) as t(i)
+"""
+
+
 def media_features_q(spark, sf):
     from batukh_spark.operators.multimodal import (extract_features,
                                                    synthesize_media)
@@ -1444,6 +1473,7 @@ QUERIES = {
     "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
     "quality_score": (quality_score_q, QUALITY_SQL),
     "lang_id": (lang_id_q, LANG_ID_SQL),
+    "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
     "media_features": (media_features_q, MEDIA_SQL),
     "video_frame_sample": (video_frame_sample_q, VIDEO_FRAME_SQL),
     # flagship extraction kernels over SQL-templated payloads

@@ -65,6 +65,30 @@ def test_ngram_jaccard(spark, docs):
     assert out[(0, 4)] == 0.0
 
 
+def test_chunk_documents_boundaries(spark):
+    from batukh_spark.operators.text import chunk_documents
+    w140 = " ".join(f"w{i}" for i in range(140))
+    docs = spark.createDataFrame(
+        [(1, w140),          # 140 tokens -> chunks at 0/56/112 (stride 56)
+         (2, "only three tokens"),
+         (3, "   ")],        # no tokens -> no chunks
+        "doc_id long, text string")
+    out = chunk_documents(docs, max_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    assert [r.n_tokens for r in sorted(by_doc[2],
+                                       key=lambda r: r.chunk_idx)] == [3]
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
+    assert [r.n_tokens for r in c1] == [64, 64, 28]  # 140 - 2*56 = 28
+    # overlap: last 8 tokens of chunk 0 == first 8 tokens of chunk 1
+    assert c1[0].chunk_text.split()[-8:] == c1[1].chunk_text.split()[:8]
+    assert c1[0].chunk_text.split()[0] == "w0"
+    assert c1[2].chunk_text.split()[-1] == "w139"
+
+
 def test_keep_set_verdicts(spark):
     base = ("the quick brown fox jumps over the lazy dog again and "
             "again today")
