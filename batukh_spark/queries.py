@@ -1151,6 +1151,26 @@ from c, unnest(range(0, n_chunks::bigint)) as t(i)
 """
 
 
+def corpus_sample(spark, sf):
+    """Deterministic stratified training-mix sampling: keep 100% of zh,
+    50% of en, 25% of everything else — hash-gated Bernoulli (see
+    operators/sampling.py), scan-local, reproducible anywhere."""
+    from batukh_spark.operators.sampling import stratified_sample
+    out = stratified_sample(t(spark, sf, "documents"),
+                            rates={"en": 0.5, "zh": 1.0},
+                            default_rate=0.25)
+    return out.select("doc_id", "lang")
+
+
+CORPUS_SAMPLE_SQL = """
+select doc_id, lang from documents
+where substr(md5('mix1:' || doc_id::varchar), 1, 4) <
+      case lang when 'en' then '8000'
+                when 'zh' then 'zzzz'
+                else '4000' end
+"""
+
+
 def media_features_q(spark, sf):
     from batukh_spark.operators.multimodal import (extract_features,
                                                    synthesize_media)
@@ -1474,6 +1494,7 @@ QUERIES = {
     "quality_score": (quality_score_q, QUALITY_SQL),
     "lang_id": (lang_id_q, LANG_ID_SQL),
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
+    "corpus_sample": (corpus_sample, CORPUS_SAMPLE_SQL),
     "media_features": (media_features_q, MEDIA_SQL),
     "video_frame_sample": (video_frame_sample_q, VIDEO_FRAME_SQL),
     # flagship extraction kernels over SQL-templated payloads

@@ -65,6 +65,25 @@ def test_ngram_jaccard(spark, docs):
     assert out[(0, 4)] == 0.0
 
 
+def test_stratified_sample_determinism_and_rates(spark):
+    from batukh_spark.operators.sampling import stratified_sample
+    rows = [(i, "en" if i % 2 == 0 else "de", "x") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = stratified_sample(docs, rates={"en": 1.0, "de": 0.5})
+    kept = out.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in kept}
+    assert by_lang["en"] == 1000          # rate 1.0 keeps everything
+    assert 400 <= by_lang.get("de", 0) <= 600   # ~50%
+    # deterministic: identical sample on a different partitioning
+    again = stratified_sample(docs.repartition(7),
+                              rates={"en": 1.0, "de": 0.5})
+    assert sorted(r.doc_id for r in out.collect()) \
+        == sorted(r.doc_id for r in again.collect())
+    # default_rate=0 drops unlisted strata
+    none_kept = stratified_sample(docs, rates={}, default_rate=0.0)
+    assert none_kept.count() == 0
+
+
 def test_chunk_documents_boundaries(spark):
     from batukh_spark.operators.text import chunk_documents
     w140 = " ".join(f"w{i}" for i in range(140))
