@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs", "dedup_clusters", "simhash_adjacent_hamming",
     "simhash_candidates", "lsh_jaccard_verified", "corpus_keep_set",
     "fingerprint_winnow", "token_counts", "quality_score", "lang_id",
-    "chunk_documents",
+    "chunk_documents", "corpus_sample",
     "cosine_topk", "ivf_cluster_sizes", "srp_near_dup", "media_features",
     "video_frame_sample",
 ]
