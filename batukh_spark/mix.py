@@ -1,0 +1,67 @@
+"""Composed training-mix pipeline — the artifact the engine exists to
+produce.
+
+A pretraining run does not consume raw extractions: it consumes a
+deduplicated, quality-gated, language-stratified, context-window-chunked
+corpus.  Every stage here already exists as a verified operator; this
+module chains them into ONE DataFrame job:
+
+    extracted docs
+      -> dedup.keep_set                (exact + MinHash-LSH verdict)
+      -> quality_score / lang_id gate  (Gopher-style filter)
+      -> sampling.stratified_sample    (deterministic mixture weights)
+      -> text.chunk_documents          (context-window chunks)
+
+Reference analogue: the full E2 inference chain the reference runs per
+page (/root/reference/batukh/torch/segmenter.py:394-573) — here the
+"chain" is corpus-level data preparation rather than per-image stages.
+
+Scale: each stage's story is documented at its definition; the chain
+adds only key joins on doc id between stages.  The input should be a
+materialized extraction (or persisted DataFrame) — keep_set, the gates,
+and chunking each traverse the corpus, so an unpersisted upstream
+would re-run its lineage per traversal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from batukh_spark.operators import dedup, textstats
+from batukh_spark.operators.sampling import stratified_sample
+from batukh_spark.operators.text import chunk_documents
+
+
+def training_mix(docs: DataFrame, rates: dict[str, float],
+                 default_rate: float = 0.25,
+                 quality_min: float = 0.45,
+                 max_tokens: int = 64, overlap: int = 8,
+                 salt: str = "mix1",
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """docs(doc_id, text) -> one row per training chunk:
+    (doc_id, chunk_idx, n_tokens, chunk_text, pred_lang, quality).
+
+    Stages: (1) corpus dedup verdict keeps `keep = true` docs only;
+    (2) gate: quality >= quality_min AND a non-null language verdict
+    (lang_id returns NULL when it has no evidence — such docs are not
+    trainable mixture members); (3) deterministic hash-gated stratified
+    sampling on pred_lang with `rates`/`default_rate`; (4) context-
+    window chunking at (max_tokens, overlap)."""
+    ks = dedup.keep_set(docs, id_col, text_col)
+    kept = docs.join(ks.filter(F.col("keep")).select(id_col), id_col)
+    q = textstats.quality_score(kept, id_col, text_col) \
+        .select(id_col, "quality")
+    lang = textstats.lang_id(kept, id_col, text_col) \
+        .select(id_col, "pred_lang")
+    gated = (kept.join(q, id_col).join(lang, id_col)
+             .filter((F.col("quality") >= quality_min)
+                     & F.col("pred_lang").isNotNull()))
+    sampled = stratified_sample(gated, rates, default_rate,
+                                strata_col="pred_lang", id_col=id_col,
+                                salt=salt)
+    chunks = chunk_documents(sampled, max_tokens, overlap,
+                             id_col=id_col, text_col=text_col)
+    return chunks.join(
+        sampled.select(id_col, "pred_lang", "quality"), id_col)

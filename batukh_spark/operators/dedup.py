@@ -70,6 +70,25 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
                               for s in range(n_hashes)]).alias("sig")))
 
 
+def minhash_bands(sigs: DataFrame, id_col: str = "doc_id",
+                  n_hashes: int = N_HASHES,
+                  n_bands: int = N_BANDS) -> DataFrame:
+    """(id, band_id, band_hash) from a minhash-signature table —
+    band_hash = md5(concat of the band's signature rows).  Shared by
+    the batch LSH self-join and the incremental signature store (the
+    store persists exactly these rows, so run N+1 buckets against run
+    N without recomputing anything from run N's text)."""
+    rows_per_band = n_hashes // n_bands
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col("sig").getItem(b * rows_per_band + r)
+                 for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)))
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"))
+
+
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         n_hashes: int = N_HASHES,
@@ -80,19 +99,11 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     band bucket become a candidate pair.  The self-join shuffles only
     (band_id, band_hash, id).
     """
-    rows_per_band = n_hashes // n_bands
     # the groupBy inside minhash_signature ends in an exchange on id_col;
     # the self-join's two sides share that identical subplan, so
     # ReuseExchange computes signatures exactly once per row
     sigs = minhash_signature(docs, id_col, text_col, n_hashes)
-    band_cols = []
-    for b in range(n_bands):
-        parts = [F.col("sig").getItem(b * rows_per_band + r)
-                 for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)))
-    bands = sigs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"))
+    bands = minhash_bands(sigs, id_col, n_hashes, n_bands)
     left = bands.alias("a")
     right = bands.alias("b")
     return (left.join(right,
@@ -195,9 +206,15 @@ def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Scale: bucketed self-join on (band_id, band_sig) — never all-pairs;
     the hamming verify joins signatures (64 chars) for candidates only.
+    Zero-token docs (empty/whitespace text) are dropped BEFORE banding:
+    they all share the identical all-zero signature, so m of them would
+    collide in every band and emit O(m^2) candidate pairs — the hot
+    bucket the minhash path avoids by dropping shingle-less docs at the
+    explode.
     """
     rows_per_band = bits // n_bands
-    sigs = simhash(docs, id_col, text_col, bits)
+    sigs = simhash(docs.filter(F.size(tokens_col(text_col)) > 0),
+                   id_col, text_col, bits)
     band_cols = [F.substring("simhash", b * rows_per_band + 1,
                              rows_per_band) for b in range(n_bands)]
     # the full signature rides through the explode (64 bytes/row) so
@@ -262,6 +279,87 @@ def keep_set(docs: DataFrame, id_col: str = "doc_id",
               .otherwise("unique"))
     return (with_exact
             .join(clusters, F.col(id_col) == F.col("__cid"), "left")
+            .select(F.col(id_col), (reason == "unique").alias("keep"),
+                    reason.alias("reason")))
+
+
+def build_signature_store(docs: DataFrame, store_dir: str,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> None:
+    """Persist run N's dedup SIGNATURES (never its text) so a later run
+    can dedup against it incrementally — the production-crawler shape:
+    new data arrives continuously and must be checked against the whole
+    history without rescanning it.
+
+    Store layout (all parquet, all tiny relative to the corpus):
+      {store_dir}/exact  (text_hash, keep_id)        32B hash + id/doc
+      {store_dir}/sigs   (doc_id, sig[16])           16 x 32B minhashes
+      {store_dir}/bands  (doc_id, band_id, band_hash) 4 rows/doc
+
+    At 10^12 docs the store is ~0.1% the corpus size; `incremental_
+    keep_set` touches ONLY these tables for the historical side."""
+    hashes = docs.select(
+        F.col(id_col),
+        F.md5(canonical_text(F.col(text_col))).alias("text_hash"))
+    (hashes.groupBy("text_hash").agg(F.min(id_col).alias("keep_id"))
+     .write.mode("overwrite").parquet(f"{store_dir}/exact"))
+    sigs = minhash_signature(docs, id_col, text_col)
+    sigs.write.mode("overwrite").parquet(f"{store_dir}/sigs")
+    (minhash_bands(sigs, id_col)
+     .write.mode("overwrite").parquet(f"{store_dir}/bands"))
+
+
+def incremental_keep_set(spark, new_docs: DataFrame, store_dir: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         min_sig_agree: int = 8) -> DataFrame:
+    """Cross-run incremental dedup verdict for NEW docs against the
+    persisted `build_signature_store` output — same (doc_id, keep,
+    reason) shape as the whole-corpus `keep_set`:
+
+      exact_dup  the doc's canonical-text md5 exists in the store;
+      near_dup   it shares >= 1 minhash band bucket with a stored doc
+                 AND the full 16-position signature agreement with that
+                 doc is >= min_sig_agree (the verify step — a band
+                 collision alone is a candidate, not a verdict);
+      unique     neither (precedence exact_dup > near_dup).
+
+    Scale: run N's text is NEVER read — the historical side touches
+    only the hash/sig/band store (tests pin the plan: no store `text`
+    column, no run-N data path).  The joins are key joins on
+    (text_hash) and (band_id, band_hash); signature arrays ship only
+    for band-colliding candidates."""
+    exact_store = spark.read.parquet(f"{store_dir}/exact") \
+        .select("text_hash")
+    sig_store = spark.read.parquet(f"{store_dir}/sigs") \
+        .select(F.col(id_col).alias("__store_id"),
+                F.col("sig").alias("__ssig"))
+    band_store = spark.read.parquet(f"{store_dir}/bands") \
+        .select(F.col(id_col).alias("__store_id"), "band_id", "band_hash")
+    new_hashes = new_docs.select(
+        F.col(id_col),
+        F.md5(canonical_text(F.col(text_col))).alias("text_hash"))
+    exact_hit = (new_hashes
+                 .join(exact_store, "text_hash", "left_semi")
+                 .select(F.col(id_col), F.lit(True).alias("__exact")))
+    new_sigs = minhash_signature(new_docs, id_col, text_col)
+    new_bands = minhash_bands(new_sigs, id_col)
+    cand = (new_bands.join(band_store, ["band_id", "band_hash"])
+            .select(F.col(id_col), "__store_id").distinct())
+    agree = F.size(F.filter(
+        F.zip_with(F.col("sig"), F.col("__ssig"), lambda x, y: x == y),
+        lambda m: m))
+    near_hit = (cand
+                .join(new_sigs, id_col)
+                .join(sig_store, "__store_id")
+                .filter(agree >= min_sig_agree)
+                .select(F.col(id_col), F.lit(True).alias("__near"))
+                .distinct())
+    reason = (F.when(F.col("__exact"), "exact_dup")
+              .when(F.col("__near"), "near_dup")
+              .otherwise("unique"))
+    return (new_docs.select(F.col(id_col))
+            .join(exact_hit, id_col, "left")
+            .join(near_hit, id_col, "left")
             .select(F.col(id_col), (reason == "unique").alias("keep"),
                     reason.alias("reason")))
 

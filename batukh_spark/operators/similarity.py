@@ -329,7 +329,20 @@ def ivf_topk(spark, index_dir: str, query_id: int, k: int = 10,
     vectors = spark.read.parquet(f"{index_dir}/vectors")
     qrow = (vectors.filter(F.col(id_col) == query_id)
             .select(vec_col).collect())  # 1 row; filter pushed to scan
+    if not qrow:
+        raise ValueError(
+            f"ivf_topk: {id_col}={query_id!r} not found in the "
+            f"persisted index at {index_dir} — the index was trained "
+            f"on a different corpus than the caller expects, or the "
+            f"id is wrong")
     qd = _py_quantized(list(qrow[0][0]))
+    if not any(qd):
+        # train_ivf assigns zero-norm vectors a NULL cluster (cosine
+        # undefined), so such a query would not survive the probe
+        # pruning — fail loudly instead of returning an empty top-k
+        raise ValueError(
+            f"ivf_topk: query vector {id_col}={query_id!r} has zero "
+            f"norm; cosine similarity is undefined for it")
     sims = [(_py_dot(qd, list(c.c_vec))
              / (math.sqrt(_py_dot(qd, qd))
                 * math.sqrt(_py_dot(list(c.c_vec), list(c.c_vec)))),

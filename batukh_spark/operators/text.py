@@ -41,6 +41,16 @@ def chunk_documents(docs, max_tokens: int = 64, overlap: int = 8,
     shuffle, parallelism follows the scan, output rows ~ n_tokens /
     stride per document."""
     from pyspark.sql import functions as F
+    if not (isinstance(max_tokens, int) and max_tokens > 0):
+        raise ValueError(f"max_tokens must be a positive int, "
+                         f"got {max_tokens!r}")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < max_tokens "
+            f"(got overlap={overlap}, max_tokens={max_tokens}): "
+            f"overlap == max_tokens would never advance and "
+            f"overlap > max_tokens walks backwards — both silently "
+            f"produce wrong chunks instead of training data")
     stride = max_tokens - overlap
     toks = tokens_col(text_col)
     n = F.size(toks)
@@ -60,6 +70,80 @@ def chunk_documents(docs, max_tokens: int = 64, overlap: int = 8,
         F.concat_ws(" ", F.slice(toks, i * stride + 1, max_tokens))
         .alias("chunk_text")))
     return docs.select(F.col(id_col), F.inline(arr))
+
+
+def pack_sequences(chunks, seq_len: int = 256,
+                   doc_col: str = "doc_id", idx_col: str = "chunk_idx",
+                   ntok_col: str = "n_tokens"):
+    """Pack chunks into fixed-length training sequences — the step
+    right after `chunk_documents` in a pretraining pipeline.  Uses
+    concat-and-split semantics (the standard GPT-style packing): all
+    chunks, in deterministic (doc_col, idx_col) order, form one
+    conceptual token stream; training sequence s owns stream positions
+    [s*seq_len, (s+1)*seq_len), and a chunk straddling a boundary is
+    split across the adjacent sequences (zero padding waste — greedy
+    bin-packing wastes up to chunk_size-1 tokens per sequence and its
+    bin state cannot be computed without a serial fold).
+
+    Returns one row per (chunk x sequence) overlap:
+      (doc_col, idx_col, seq_id, tok_begin, tok_end, seq_pos) —
+    [tok_begin, tok_end) is the chunk-local token slice landing in
+    seq_id at in-sequence offset seq_pos.
+
+    Scale (distributed prefix sum — no global single-partition
+    window): only (doc, idx, n_tokens) triples flow through the math
+    (never chunk text; join text back by key afterwards).
+      1. range-repartition + sort by (doc_col, idx_col), materialized
+         once (localCheckpoint) so the partition ids seen by the
+         offsets job and the output job are identical;
+      2. per-partition running sum via a window keyed on the physical
+         partition id;
+      3. per-partition totals (one row per partition) collect to the
+         driver — the same k-row planning-collect class as the IVF
+         codebook — and come back as a broadcast offsets join.
+    The final global offsets depend only on the total (doc, idx)
+    order, not on where range partitioning drew its boundaries."""
+    from pyspark.sql import Window
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    spark = chunks.sparkSession
+    slim = (chunks
+            .select(F.col(doc_col), F.col(idx_col),
+                    F.col(ntok_col).cast("long").alias("__n"))
+            .filter(F.col("__n") > 0))
+    n_parts = spark.sparkContext.defaultParallelism
+    ordered = (slim.repartitionByRange(n_parts, doc_col, idx_col)
+               .sortWithinPartitions(doc_col, idx_col)
+               .withColumn("__part", F.spark_partition_id())
+               .localCheckpoint())
+    w = (Window.partitionBy("__part").orderBy(doc_col, idx_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = ordered.withColumn(
+        "__local_start", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    totals = sorted(
+        ordered.groupBy("__part").agg(F.sum("__n").alias("__tot"))
+        .collect(), key=lambda r: r["__part"])
+    offsets, off = [], 0
+    for r in totals:
+        offsets.append((r["__part"], off))
+        off += r["__tot"]
+    odf = spark.createDataFrame(offsets or [(0, 0)],
+                                "__opart int, __offset long")
+    joined = local.join(F.broadcast(odf),
+                        local["__part"] == odf["__opart"])
+    gstart = F.col("__offset") + F.col("__local_start")
+    first = F.floor(gstart / seq_len)
+    last = F.floor((gstart + F.col("__n") - 1) / seq_len)
+    pieces = F.transform(F.sequence(first, last), lambda s: F.struct(
+        s.cast("long").alias("seq_id"),
+        (F.greatest(gstart, s * seq_len) - gstart).cast("long")
+        .alias("tok_begin"),
+        (F.least(gstart + F.col("__n"), (s + 1) * seq_len) - gstart)
+        .cast("long").alias("tok_end"),
+        (F.greatest(gstart, s * seq_len) - s * seq_len).cast("long")
+        .alias("seq_pos")))
+    return joined.select(F.col(doc_col), F.col(idx_col),
+                         F.inline(pieces))
 
 
 def char_grams_md5(text: Column | str, k: int = 8) -> Column:

@@ -13,9 +13,9 @@ from batukh_spark.operators.text import char_grams_md5, tokens_col
 
 # per-language stopword profiles for the stopword-hit heuristic —
 # 12 languages x 16 high-frequency function words; deterministic
-# literals so the SQL oracle reproduces every hit count.  (Whitespace
-# tokenization limits zh/ja to texts with segmented tokens — an honest
-# limitation of the stdlib-only sandbox, documented here.)
+# literals so the SQL oracle reproduces every hit count.  (zh/ja are
+# ALSO covered by the char-script gate in lang_id, which handles
+# unsegmented text; the token profiles remain for pre-segmented input.)
 LANG_PROFILES = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that",
            "it", "for", "on", "with", "as", "at", "this", "but"],
@@ -149,10 +149,30 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
         F.round(score, 4).alias("quality"))
 
 
+# minimum count of CJK/kana codepoints before the script gate fires —
+# a single stray ideograph in a Latin doc must not flip the verdict
+CJK_MIN_CHARS = 4
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """Stopword-profile language ID: argmax of per-language stopword hits
-    (ties broken by language code asc).  Returns (id, pred_lang, hits)."""
+    """Two-stage language ID.  Returns (id, pred_lang, hits).
+
+    1. Script gate: if the text contains >= CJK_MIN_CHARS CJK-ideograph
+       (U+4E00-U+9FFF) or kana (U+3040-U+30FF) codepoints, classify by
+       script — kana present => ja, else zh; hits = the codepoint
+       count.  This classifies UNSEGMENTED zh/ja text, which whitespace
+       tokenization can never match against token profiles (those chars
+       are decisive: they do not occur in Latin-script text).
+    2. Otherwise stopword-profile argmax over LANG_PROFILES (ties broken
+       by language code asc) — and pred_lang is NULL when no profile
+       word hits at all, so a consumer never mistakes an arbitrary
+       tie-break for a real verdict (hits = 0 used to silently label
+       such docs with the alphabetically-first language)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_cjk = F.length(F.regexp_replace(c, "[^\u4e00-\u9fff]", ""))
+    n_kana = F.length(F.regexp_replace(c, "[^\u3040-\u30ff]", ""))
+    script_hits = n_cjk + n_kana
     toks = tokens_col(text_col)
     scores = []
     for lang in sorted(LANG_PROFILES):
@@ -171,9 +191,28 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
             (s["hits"] > acc["hits"])
             | ((s["hits"] == acc["hits"]) & (s["lang"] < acc["lang"])),
             s).otherwise(acc))
+    pred = (F.when(script_hits >= CJK_MIN_CHARS,
+                   F.when(n_kana > 0, F.lit("ja")).otherwise(F.lit("zh")))
+            .when(best["hits"] > 0, best["lang"])
+            .otherwise(F.lit(None).cast("string")))
+    hits = F.when(script_hits >= CJK_MIN_CHARS, script_hits) \
+        .otherwise(best["hits"])
     return docs.select(F.col(id_col),
-                       best["lang"].alias("pred_lang"),
-                       best["hits"].alias("hits"))
+                       pred.alias("pred_lang"),
+                       hits.alias("hits"))
+
+
+def _winnow_mins(grams, w: int):
+    """Distinct window-of-w minima over a gram-hash array (the
+    winnowing selection); all grams when there are fewer than w."""
+    n_grams = F.size(grams)
+    win_idx = F.sequence(F.lit(1), n_grams - F.lit(w - 1))
+    return F.when(
+        n_grams >= w,
+        F.array_distinct(F.transform(
+            win_idx, lambda j: F.array_min(
+                F.slice(grams, j.cast("int"), w))))) \
+        .otherwise(F.array_distinct(grams))
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
@@ -187,15 +226,46 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     """
     grams = char_grams_md5(F.col(text_col), k)
     n_grams = F.size(grams)
-    win_idx = F.sequence(F.lit(1), n_grams - F.lit(w - 1))
-    mins = F.when(
-        n_grams >= w,
-        F.array_distinct(F.transform(
-            win_idx, lambda j: F.array_min(
-                F.slice(grams, j.cast("int"), w))))) \
-        .otherwise(F.array_distinct(grams))
+    mins = _winnow_mins(grams, w)
     return docs.select(
         F.col(id_col),
         n_grams.alias("n_grams"),
         F.size(mins).alias("n_fingerprints"),
         F.array_min(mins).alias("fp_min"))
+
+
+def fingerprint_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text", k: int = 8,
+                                w: int = 4,
+                                max_df: int = 5) -> DataFrame:
+    """Cross-doc candidate pairs from winnowing fingerprints — the
+    actual MOSS use-case: two docs sharing selected k-char-gram minima
+    share PASSAGES even when whole-doc similarity (minhash) is low.
+    Returns (id_a, id_b, n_shared_fps), n_shared_fps = number of
+    distinct shared fingerprints.
+
+    Scale: same band-style shape as LSH — explode per-doc fingerprint
+    sets, self-join bucketed on the fingerprint value, never all-pairs.
+    Fingerprints appearing in more than `max_df` docs are dropped first
+    (boilerplate passages; a fingerprint's pair emission is quadratic
+    in its document frequency, so ubiquitous grams would otherwise be a
+    hot-bucket blowup — the df cap is one groupBy over the already-tiny
+    fingerprint table).  max_df=5 keeps only genuinely rare shared
+    passages (measured on the test corpus: cap 100 ~ all-pairs, cap 5 ~
+    0.2-4% of pairs); raise it for passage-level recall at the cost of
+    quadratic-in-df bucket work."""
+    grams = char_grams_md5(F.col(text_col), k)
+    fps = docs.select(F.col(id_col),
+                      F.explode(_winnow_mins(grams, w)).alias("fp"))
+    rare = (fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp"))
+    pruned = fps.join(rare, "fp")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_fps")))

@@ -466,35 +466,43 @@ from dsh a join dsh b on b.doc_id = a.doc_id + 1
 """
 
 
-def _lsh_chain_sql(src: str = "documents") -> str:
-    """toks/sh/sig/bands/cand CTE bodies over `src`(doc_id, text) —
-    the DuckDB mirror of minhash_signature + lsh_candidate_pairs,
-    parameterized by source so augmented corpora can reuse it."""
-    return rf"""toks as (
+def _minhash_sig_sql(src: str, p: str = "") -> str:
+    """{p}toks/{p}sh/{p}sig/{p}bands CTE bodies over `src`(doc_id,
+    text) — the DuckDB mirror of minhash_signature + minhash_bands.
+    The prefix lets one query carry TWO signature chains (e.g. the
+    incremental signature-store side and the new-run side)."""
+    return rf"""{p}toks as (
   select doc_id,
          list_filter(regexp_split_to_array(lower(text), '\s+'),
                      x -> x <> '') as tokens
   from {src}
-), sh as (
+), {p}sh as (
   select doc_id,
          case when len(tokens) >= 3 then
            list_transform(generate_series(1, len(tokens) - 2),
                           i -> tokens[i] || ' ' || tokens[i+1] || ' '
                                || tokens[i+2])
          else [] end as shingles
-  from toks
-), sig as (
+  from {p}toks
+), {p}sig as (
   select doc_id,
          list_transform(generate_series(0, 15),
             s -> list_min(list_transform(shingles,
                    g -> md5(s::varchar || ':' || g)))) as sig
-  from sh where len(shingles) > 0
-), bands as (
+  from {p}sh where len(shingles) > 0
+), {p}bands as (
   select doc_id, b as band_id,
          md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|'
              || sig[b*4+4]) as band_hash
-  from sig cross join unnest([0, 1, 2, 3]) as u(b)
-), cand as (
+  from {p}sig cross join unnest([0, 1, 2, 3]) as u(b)
+)"""
+
+
+def _lsh_chain_sql(src: str = "documents") -> str:
+    """toks/sh/sig/bands/cand CTE bodies over `src`(doc_id, text) —
+    the DuckDB mirror of minhash_signature + lsh_candidate_pairs,
+    parameterized by source so augmented corpora can reuse it."""
+    return _minhash_sig_sql(src) + """, cand as (
   select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_shared_bands
   from bands a
   join bands b on a.band_id = b.band_id and a.band_hash = b.band_hash
@@ -640,8 +648,13 @@ def simhash_candidates(spark, sf):
 
 SIMHASH_CANDIDATES_SQL = _SIMHASH_SIGS_CTE + f"""
 , bands as (
-  select doc_id, b as band_id, substr(simhash, b * 16 + 1, 16) as band_sig
-  from sigs cross join unnest([0, 1, 2, 3]) as u(b)
+  -- zero-token docs are dropped before banding (all-zero-signature
+  -- hot bucket), mirroring operators.dedup.simhash_candidate_pairs
+  select sigs.doc_id, b as band_id,
+         substr(simhash, b * 16 + 1, 16) as band_sig
+  from sigs join toks using (doc_id)
+  cross join unnest([0, 1, 2, 3]) as u(b)
+  where len(toks.tokens) > 0
 ), cand as (
   select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_shared_bands
   from bands a
@@ -813,14 +826,23 @@ select cluster::bigint as cluster, count(*) as n from assign group by 1
 """
 
 
+# bump whenever the IVF training code or hyperparameters change: the
+# cache key must invalidate, or a stale index silently serves old
+# centroids (masking regressions / causing spurious oracle mismatches,
+# since the SQL oracle always retrains fresh)
+_IVF_CACHE_VER = "v2_k8_i2_d64"
+
+
 def _ivf_index_dir(sf: str) -> str:
     """Deterministic per-corpus index location: train once per testdata
-    dir, serve on every subsequent call (keyed by file identity so a
-    regenerated corpus retrains)."""
+    dir, serve on every subsequent call.  Keyed by corpus file identity
+    (a regenerated corpus retrains) AND a code/param version token (a
+    training change retrains)."""
     import os
     st = os.stat(f"{sf}/embeddings.parquet")
     base = os.path.basename(os.path.normpath(sf))
-    return (f"/tmp/batukh_ivf_{base}_{st.st_size}_{int(st.st_mtime)}")
+    return (f"/tmp/batukh_ivf_{_IVF_CACHE_VER}_{base}_"
+            f"{st.st_size}_{int(st.st_mtime)}")
 
 
 def ivf_recall_topk(spark, sf):
@@ -835,7 +857,18 @@ def ivf_recall_topk(spark, sf):
     emb = t(spark, sf, "embeddings")
     idx = _ivf_index_dir(sf)
     if not os.path.exists(f"{idx}/vectors/_SUCCESS"):
-        similarity.train_ivf(emb, idx)
+        # concurrent-safe creation: train into a pid-unique tmp dir,
+        # then atomically rename into place; a racing trainer that
+        # loses the rename just uses the winner's identical index
+        tmp = f"{idx}.train{os.getpid()}"
+        similarity.train_ivf(emb, tmp)
+        try:
+            os.rename(tmp, idx)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(f"{idx}/vectors/_SUCCESS"):
+                raise
     brute = similarity.cosine_topk(emb, query_id=0, k=10).select("vec_id")
     ivf = similarity.ivf_topk(spark, idx, query_id=0, k=10,
                               nprobe=3).select("vec_id")
@@ -1089,37 +1122,58 @@ def lang_id_q(spark, sf):
                       F.col("hits").cast("long").alias("hits"))
 
 
-def _lang_id_sql() -> str:
-    """Generated from the SAME LANG_PROFILES literals the Spark
-    operator uses (12 languages x 16 stopwords) — argmax of per-lang
-    hits, ties broken by language code asc."""
-    from batukh_spark.operators.textstats import LANG_PROFILES
+def _lang_cte(src: str, p: str = "") -> str:
+    """{p}ltoks/{p}langs/{p}lh/{p}lr/{p}lscript/{p}lpred CTE bodies
+    over `src`(doc_id, text) — generated from the SAME LANG_PROFILES
+    literals the Spark operator uses (12 languages x 16 stopwords).
+    Mirrors the two-stage operator: CJK/kana script gate first
+    (>= CJK_MIN_CHARS codepoints => ja when kana present else zh),
+    then stopword-hit argmax with ties broken by language code asc and
+    a NULL verdict at 0 hits.  `{p}lpred` = (doc_id, pred_lang, hits).
+    """
+    from batukh_spark.operators.textstats import (CJK_MIN_CHARS,
+                                                  LANG_PROFILES)
     vals = ",\n         ".join(
         "('{}', [{}])".format(
             lang, ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]))
         for lang in sorted(LANG_PROFILES))
-    return rf"""
-with toks as (
+    return rf"""{p}ltoks as (
   select doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                              x -> x <> '') as tokens
-  from documents
-), langs(lang, prof) as (
+  from {src}
+), {p}langs(lang, prof) as (
   values {vals}
-), h as (
+), {p}lh as (
   select doc_id, lang,
          len(list_filter(tokens, t -> list_contains(prof, t))) as hits
-  from toks cross join langs
-), r as (
+  from {p}ltoks cross join {p}langs
+), {p}lr as (
   select doc_id, lang, hits,
          row_number() over (partition by doc_id
                             order by hits desc, lang asc) as rn
-  from h
-)
-select doc_id, lang as pred_lang, hits from r where rn = 1
-"""
+  from {p}lh
+), {p}lscript as (
+  select doc_id,
+         length(regexp_replace(text, '[^\x{{4e00}}-\x{{9fff}}]', '', 'g'))
+           as n_cjk,
+         length(regexp_replace(text, '[^\x{{3040}}-\x{{30ff}}]', '', 'g'))
+           as n_kana
+  from {src}
+), {p}lpred as (
+  select r.doc_id,
+         case when s.n_cjk + s.n_kana >= {CJK_MIN_CHARS}
+                then case when s.n_kana > 0 then 'ja' else 'zh' end
+              when r.hits > 0 then r.lang
+              else null end as pred_lang,
+         case when s.n_cjk + s.n_kana >= {CJK_MIN_CHARS}
+                then s.n_cjk + s.n_kana
+              else r.hits end as hits
+  from {p}lr r join {p}lscript s using (doc_id) where rn = 1
+)"""
 
 
-LANG_ID_SQL = _lang_id_sql()
+LANG_ID_SQL = ("with " + _lang_cte("documents")
+               + "\nselect doc_id, pred_lang, hits from lpred\n")
 
 
 def chunk_documents_q(spark, sf):
@@ -1214,8 +1268,226 @@ from v, unnest(range(0, n_frames::bigint, 4)) as t(i)
 
 
 # ---------------------------------------------------------------------------
-# extraction flagship — REAL kernels over SQL-templated payloads, so the
-# driver's DuckDB gate can verify the whole inference path bit-for-bit
+# training-data assembly: sequence packing, passage-level candidates,
+# incremental cross-run dedup, and the composed training-mix capstone
+
+# 64-token/8-overlap chunk CTEs over `src`(doc_id, text) — the DuckDB
+# mirror of operators.text.chunk_documents; prefixed so composed queries
+# can chunk a derived corpus
+def _chunk_sql(src: str, p: str = "") -> str:
+    return rf"""{p}ctoks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from {src}
+), {p}cc as (
+  select doc_id, tokens, len(tokens) as n,
+         case when len(tokens) <= 0 then 0
+              when len(tokens) <= 64 then 1
+              else 1 + ceil((len(tokens) - 64) / 56.0)::int end as n_chunks
+  from {p}ctoks
+), {p}chunks as (
+  select doc_id, i::bigint as chunk_idx,
+         least(64, n - i * 56)::bigint as n_tokens,
+         array_to_string(tokens[i*56+1 : i*56+64], ' ') as chunk_text
+  from {p}cc, unnest(range(0, n_chunks::bigint)) as t(i)
+)"""
+
+
+def pack_sequences_q(spark, sf):
+    """Concat-and-split sequence packing (seq_len=256) of the 64/8
+    context-window chunks — one row per (chunk x sequence) overlap,
+    computed with a distributed prefix sum (no global single-partition
+    window; see operators.text.pack_sequences)."""
+    from batukh_spark.operators.text import chunk_documents, pack_sequences
+    chunks = chunk_documents(t_spread(spark, sf, "documents"),
+                             max_tokens=64, overlap=8)
+    return pack_sequences(chunks, seq_len=256)
+
+
+PACK_SEQUENCES_SQL = "with " + _chunk_sql("documents") + """
+, g as (
+  select doc_id, chunk_idx, n_tokens,
+         coalesce(sum(n_tokens) over (
+           order by doc_id, chunk_idx
+           rows between unbounded preceding and 1 preceding),
+           0)::bigint as gstart
+  from chunks where n_tokens > 0
+)
+select doc_id, chunk_idx, s::bigint as seq_id,
+       (greatest(gstart, s * 256) - gstart)::bigint as tok_begin,
+       (least(gstart + n_tokens, (s + 1) * 256) - gstart)::bigint
+         as tok_end,
+       (greatest(gstart, s * 256) - s * 256)::bigint as seq_pos
+from g, unnest(generate_series(gstart // 256,
+                               (gstart + n_tokens - 1) // 256)) as t(s)
+"""
+
+
+def fingerprint_candidates_q(spark, sf):
+    """Passage-level near-dup candidate pairs from winnowing
+    fingerprints (k=8 char grams, window 4, document-frequency cap) —
+    the cross-doc MOSS step over the per-doc fingerprints."""
+    return textstats.fingerprint_candidate_pairs(
+        t_spread(spark, sf, "documents"))
+
+
+FINGERPRINT_CANDIDATES_SQL = """
+with grams as (
+  select doc_id,
+         case when length(text) >= 8 then
+           list_transform(generate_series(1, length(text) - 7),
+                          i -> md5(substr(text, i, 8)))
+         else [] end as grams
+  from documents
+), winnow as (
+  select doc_id,
+         case when len(grams) >= 4 then
+           list_distinct(list_transform(generate_series(1, len(grams) - 3),
+                          j -> list_min(grams[j:j+3])))
+         else list_distinct(grams) end as mins
+  from grams
+), fps as (
+  select doc_id, fp from winnow, unnest(mins) as t(fp)
+), rare as (
+  select fp from fps group by fp having count(*) <= 5
+), pruned as (
+  select doc_id, fp from fps join rare using (fp)
+)
+select a.doc_id as id_a, b.doc_id as id_b,
+       count(*) as n_shared_fps
+from pruned a join pruned b on a.fp = b.fp and a.doc_id < b.doc_id
+group by 1, 2
+"""
+
+
+# bump when the signature-store layout or minhash parameters change
+_SIGSTORE_CACHE_VER = "v1_h16_b4"
+
+
+def _sigstore_dir(sf: str) -> str:
+    """Deterministic per-corpus signature-store location (same file-
+    identity + code-version keying as the IVF index cache)."""
+    import os
+    st = os.stat(f"{sf}/documents.parquet")
+    base = os.path.basename(os.path.normpath(sf))
+    return (f"/tmp/batukh_sigstore_{_SIGSTORE_CACHE_VER}_{base}_"
+            f"{st.st_size}_{int(st.st_mtime)}")
+
+
+def incremental_keep_set_q(spark, sf):
+    """Cross-run incremental dedup: run N = even doc_ids (its signature
+    store is built once and persisted — run N's TEXT is never re-read);
+    run N+1 = odd doc_ids plus planted twins of run-N docs (exact at
+    doc_id+2000000 for doc_id%50==0; near at doc_id+3000000 with two
+    appended tokens for doc_id%40==0, which perturbs only the trailing
+    shingles so >= 1 minhash band survives).  Emits the same (doc_id,
+    keep, reason) verdict shape as corpus_keep_set."""
+    import os
+    docs = t_spread(spark, sf, "documents").select("doc_id", "text")
+    run_a = docs.filter(F.col("doc_id") % 2 == 0)
+    store = _sigstore_dir(sf)
+    if not os.path.exists(f"{store}/bands/_SUCCESS"):
+        tmp = f"{store}.build{os.getpid()}"
+        dedup.build_signature_store(run_a, tmp)
+        try:
+            os.rename(tmp, store)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(f"{store}/bands/_SUCCESS"):
+                raise
+    exact_twins = run_a.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    near_twins = run_a.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xq extra")).alias("text"))
+    run_b = (docs.filter(F.col("doc_id") % 2 == 1)
+             .unionByName(exact_twins).unionByName(near_twins))
+    return dedup.incremental_keep_set(spark, run_b, store)
+
+
+INCREMENTAL_KEEP_SET_SQL = f"""
+with a as (
+  select doc_id, text from documents where doc_id % 2 = 0
+), b as (
+  select doc_id, text from documents where doc_id % 2 = 1
+  union all
+  select doc_id + 2000000, text from documents where doc_id % 50 = 0
+  union all
+  select doc_id + 3000000, text || ' xq extra' from documents
+  where doc_id % 40 = 0
+), {_minhash_sig_sql('a', 'a_')}, {_minhash_sig_sql('b', 'b_')}
+, a_hash as (
+  select distinct
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           as text_hash
+  from a
+), b_hash as (
+  select doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           as text_hash
+  from b
+), exact_hit as (
+  select distinct bh.doc_id from b_hash bh join a_hash using (text_hash)
+), cand as (
+  select distinct nb.doc_id as doc_id, sb.doc_id as store_id
+  from b_bands nb join a_bands sb using (band_id, band_hash)
+), near_hit as (
+  select distinct c.doc_id
+  from cand c
+  join b_sig ns on ns.doc_id = c.doc_id
+  join a_sig ss on ss.doc_id = c.store_id
+  where len(list_filter(generate_series(1, 16),
+                        i -> ns.sig[i] = ss.sig[i])) >= 8
+)
+select b.doc_id,
+       e.doc_id is null and n.doc_id is null as keep,
+       case when e.doc_id is not null then 'exact_dup'
+            when n.doc_id is not null then 'near_dup'
+            else 'unique' end as reason
+from b
+left join exact_hit e on e.doc_id = b.doc_id
+left join near_hit n on n.doc_id = b.doc_id
+"""
+
+
+def training_mix_q(spark, sf):
+    """CAPSTONE — the composed training-mix pipeline as ONE chained
+    DataFrame job: kernel HTML extraction over templated payloads ->
+    keep_set dedup (with planted exact twins, as corpus_keep_set) ->
+    quality >= 0.45 & language gate -> deterministic stratified
+    sampling (en 0.5, default 0.25) -> 64/8 context-window chunking.
+    Every stage is an already-verified operator; the DuckDB oracle
+    composes their CTEs, with the extraction stage's closed form
+    (EXTRACT_TRANSCRIPTS_SQL html turn) standing in for the kernel."""
+    from batukh_spark import kernels
+    from batukh_spark.mix import training_mix
+    from pyspark import StorageLevel
+
+    docs = t_spread(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("c"), F.col("doc_id").cast("string"))
+        .alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        _html_payload_col().alias("text"),
+        F.lit(None).cast("string").alias("tool"))
+    out = pages.mapInArrow(
+        kernels.extract_turns_lean,
+        schema=kernels.lean_schema_sql(
+            "conv_id string, turn_idx int, role string, tool string"))
+    extracted = out.select(
+        F.expr("cast(substr(conv_id, 2) as bigint)").alias("doc_id"),
+        F.col("extracted_text").alias("text"))
+    twins = extracted.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    # the mix traverses the corpus once per stage family — persist the
+    # extraction so the kernel runs once, not once per downstream branch
+    corpus = extracted.unionByName(twins) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    mixed = training_mix(corpus, rates={"en": 0.5}, default_rate=0.25)
+    return mixed.select("doc_id", "chunk_idx", "n_tokens", "chunk_text",
+                        "pred_lang", "quality")
 # (K3/K5 html tokenize+classify+assemble, K6/K9 XY-cut + reading order,
 # K4 tool blocks, S4/Q8 canonicalization+assembly).  The payload for each
 # turn is a deterministic pure-SQL function of the documents table, so the
@@ -1457,6 +1729,119 @@ from d
 """
 
 
+def _quality_cte(src: str, p: str = "") -> str:
+    """{p}qtoks/{p}qparts/{p}qs/{p}qual CTE bodies over `src`(doc_id,
+    text) — the quality-score computation of QUALITY_SQL, reduced to
+    the columns the SCORE uses (dup_para is a report-only column) and
+    parameterized so composed pipelines can gate a derived corpus.
+    `{p}qual` = (doc_id, quality) with the same round-4 value."""
+    return rf"""{p}qtoks as (
+  select doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from {src}
+), {p}qparts as (
+  select doc_id, tokens,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    s -> trim(s)), s -> s <> '') as lines,
+         case when len(tokens) >= 2 then
+           list_transform(generate_series(1, len(tokens) - 1),
+                          i -> tokens[i] || ' ' || tokens[i+1])
+         else [] end as bg
+  from {p}qtoks
+), {p}qs as (
+  select doc_id, len(tokens) as n_words,
+         case when len(tokens) > 0 then
+           list_sum(list_transform(tokens, t -> length(t))) / len(tokens)
+         else 0.0 end as mean_word_len,
+         case when len(tokens) > 0 then
+           len(list_filter(tokens, t -> list_contains(
+             ['the','and','of','to','a','in','is','that'], t)))
+           / len(tokens)
+         else 0.0 end as stop_ratio,
+         case when len(lines) > 0 then
+           (len(lines) - len(list_distinct(lines))) / len(lines)
+         else 0.0 end as dup_line,
+         case when len(bg) > 0 then
+           list_max(list_transform(list_distinct(bg),
+                    b -> len(list_filter(bg, x -> x = b)))) / len(bg)
+         else 0.0 end as top_bigram
+  from {p}qparts
+), {p}qual as (
+  select doc_id,
+         round(0.3 * least(n_words / 100.0, 1.0)
+               + 0.15 * case when stop_ratio >= 0.01 and stop_ratio <= 0.6
+                        then 1.0 else 0.0 end
+               + 0.15 * case when mean_word_len >= 3.0
+                                  and mean_word_len <= 12.0
+                        then 1.0 else 0.0 end
+               + 0.2 * case when dup_line <= 0.30 then 1.0 else 0.0 end
+               + 0.2 * case when top_bigram <= 0.20 then 1.0 else 0.0 end,
+               4) as quality
+  from {p}qs
+)"""
+
+
+# the composed training-mix oracle: extraction closed form (html turn of
+# EXTRACT_TRANSCRIPTS_SQL) -> keep_set verdict (CORPUS_KEEP_SET_SQL
+# CTEs) -> quality + language gate -> deterministic sample -> chunking
+TRAINING_MIX_SQL = (
+    _DOCSTATS_CTE.replace("with s as", "with recursive s as", 1)
+    + f""", ext0 as (
+  select doc_id,
+         case when nw >= 5 then 'Doc ' || doc_id || chr(10) || c
+              else '' end as text
+  from st
+), docs as (
+  select doc_id, text from ext0
+  union all
+  select doc_id + 1000000, text from ext0 where doc_id % 25 = 0
+), {_lsh_chain_sql("docs")}
+, edges as (
+  select id_a as src, id_b as dst from cand
+  union
+  select id_b, id_a from cand
+), reach(id, lab) as (
+  select src, src from edges
+  union
+  select e.src, r.lab from edges e join reach r on r.id = e.dst
+), clusters as (
+  select id as doc_id, min(lab) as cluster_id from reach group by id
+), hashes as (
+  select doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           as text_hash
+  from docs
+), exact as (
+  select text_hash, min(doc_id) as keep_id from hashes group by 1
+), verdict as (
+  select h.doc_id,
+         case when h.doc_id <> e.keep_id then 'exact_dup'
+              when c.cluster_id is not null and h.doc_id <> c.cluster_id
+                   then 'near_dup'
+              else 'unique' end as reason
+  from hashes h
+  join exact e using (text_hash)
+  left join clusters c using (doc_id)
+), kept as (
+  select d.doc_id, d.text from docs d
+  join verdict v using (doc_id) where v.reason = 'unique'
+), {_quality_cte("kept")}, {_lang_cte("kept")}
+, gated as (
+  select k.doc_id, k.text, q.quality, l.pred_lang
+  from kept k join qual q using (doc_id) join lpred l using (doc_id)
+  where q.quality >= 0.45 and l.pred_lang is not null
+), sampled as (
+  select * from gated
+  where substr(md5('mix1:' || doc_id::varchar), 1, 4) <
+        case pred_lang when 'en' then '8000' else '4000' end
+), {_chunk_sql("sampled")}
+select ch.doc_id, ch.chunk_idx, ch.n_tokens, ch.chunk_text,
+       s2.pred_lang, s2.quality
+from chunks ch join sampled s2 using (doc_id)
+""")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1495,6 +1880,12 @@ QUERIES = {
     "lang_id": (lang_id_q, LANG_ID_SQL),
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
     "corpus_sample": (corpus_sample, CORPUS_SAMPLE_SQL),
+    "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),
+    "fingerprint_candidates": (fingerprint_candidates_q,
+                               FINGERPRINT_CANDIDATES_SQL),
+    "incremental_keep_set": (incremental_keep_set_q,
+                             INCREMENTAL_KEEP_SET_SQL),
+    "training_mix": (training_mix_q, TRAINING_MIX_SQL),
     "media_features": (media_features_q, MEDIA_SQL),
     "video_frame_sample": (video_frame_sample_q, VIDEO_FRAME_SQL),
     # flagship extraction kernels over SQL-templated payloads

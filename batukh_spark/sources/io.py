@@ -83,46 +83,111 @@ def write_extracted(df: DataFrame, target: str, partition_col: str = "unit",
     writer.partitionBy(partition_col).parquet(target)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path` via the JVM gateway — works for
+    any Hadoop-supported scheme (file:, hdfs:, s3a:, ...), unlike
+    os.rename/shutil which are POSIX-local only."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _version_dirs(spark: SparkSession, target: str) -> list:
+    """Sorted [(n, uri)] of COMMITTED manifest version dirs (vNNNNNN
+    containing _SUCCESS) under `target`."""
+    import re
+    jvm = spark._jvm
+    fs, root = _hadoop_fs(spark, target)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and re.fullmatch(r"v\d{6}", name):
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    st.getPath(), "_SUCCESS")):
+                out.append((int(name[1:]), st.getPath().toString()))
+    return sorted(out)
+
+
 def append_manifest(df: DataFrame, target: str) -> None:
+    """Append manifest rows into the CURRENT version dir (vNNNNNN) of
+    the versioned layout — created at v000001 on first write.  A
+    legacy un-versioned store (loose part files at the root) keeps
+    receiving root appends until its first compaction migrates it."""
     spark = df.sparkSession
     if _is_catalog_table(spark, target):
         df.writeTo(target).append()
         return
-    df.write.mode("append").parquet(target)
+    vers = _version_dirs(spark, target)
+    if vers:
+        df.write.mode("append").parquet(vers[-1][1])
+        return
+    fs, root = _hadoop_fs(spark, target)
+    if fs.exists(root) and any(not st.getPath().getName().startswith("_")
+                               for st in fs.listStatus(root)):
+        df.write.mode("append").parquet(target)     # legacy layout
+    else:
+        df.write.mode("append").parquet(f"{target.rstrip('/')}/v000001")
 
 
 def rewrite_manifest(df: DataFrame, target: str) -> None:
-    """Replace the manifest table contents (retention compaction)
-    ATOMICALLY: the survivor rows are written to a temp sibling FIRST
-    (which also materializes `df` while `target` is still readable),
-    then swapped in via rename, keeping the previous manifest at
-    `.old` until the swap completes.  A crash at any point leaves
-    either the old or the new manifest recoverable (read_manifest
-    falls back to `.old`) — never an empty path, which would force a
-    full re-extraction on the next resume.  The Iceberg branch uses
-    the catalog's transactional replace()."""
+    """Replace the manifest table contents (retention compaction) with
+    object-store-safe commit semantics: the survivor rows are written
+    to the NEXT version dir `vNNNNNN` (Spark's committer drops
+    _SUCCESS last), readers always pick the highest version that HAS
+    _SUCCESS, and only after the new version is committed are older
+    versions garbage-collected.  No rename is ever issued on the data
+    path — on S3-class stores rename is copy+delete and not atomic,
+    which is exactly the crash window the previous tmp-and-rename
+    swap reintroduced at scale.  A crash at any point leaves either
+    the old version (new one uncommitted, ignored) or both (GC
+    unfinished, highest wins; re-collected on the next compaction).
+    Single-writer assumption: appends must not race a compaction —
+    rows appended to the old version after the survivor snapshot was
+    taken would be dropped with it (same caveat as any
+    snapshot-compact scheme; the Iceberg branch gets transactions
+    from the catalog instead)."""
     spark = df.sparkSession
     if _is_catalog_table(spark, target):
         df.writeTo(target).replace()
         return
-    import os
-    import shutil
+    jvm = spark._jvm
     base = target.rstrip("/")
-    tmp, old = base + ".tmp", base + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(base):
-        os.rename(base, old)
-    os.rename(tmp, base)
-    shutil.rmtree(old, ignore_errors=True)
+    vers = _version_dirs(spark, target)
+    next_n = (vers[-1][0] + 1) if vers else 1
+    df.write.mode("overwrite").parquet(f"{base}/v{next_n:06d}")
+    # committed — GC every older version, legacy loose root files, and
+    # pre-versioning .tmp/.old siblings
+    fs, root = _hadoop_fs(spark, target)
+    for n, uri in vers:
+        if n < next_n:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(uri), True)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() and not name.startswith("v"):
+            fs.delete(st.getPath(), False)
+    for sib in (base + ".tmp", base + ".old"):
+        p = jvm.org.apache.hadoop.fs.Path(sib)
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def read_manifest(spark: SparkSession, target: str) -> DataFrame | None:
+    """Read the committed manifest: highest vNNNNNN version dir with
+    _SUCCESS, falling back to the legacy un-versioned layout (root
+    parquet, then the pre-versioning `.old` swap sibling)."""
+    try:
+        if _is_catalog_table(spark, target):
+            return spark.read.table(target)
+        vers = _version_dirs(spark, target)
+        if vers:
+            return spark.read.parquet(vers[-1][1])
+    except Exception:
+        return None
     for path in (target, target.rstrip("/") + ".old"):
         try:
-            if _is_catalog_table(spark, path):
-                return spark.read.table(path)
             return spark.read.parquet(path)
         except Exception:
             continue  # first run (no manifest yet) or mid-swap crash

@@ -18,6 +18,13 @@ Env:
                        with 2-3x load swings; best-of-N overstates)
   BATUKH_BENCH_MODE    "all" (default) | "extract" (headline only —
                        used by BENCH/scaling.py)
+  BATUKH_BENCH_RAW_OUT JSON file the headline reps are APPENDED to as a
+                       raw-sample batch (default
+                       <repo>/BENCH/raw_samples_local.json; set "" to
+                       disable).  Every committed headline number must
+                       have its raw samples in that file — the round-3
+                       claim whose samples lived only in prose did not
+                       reproduce.
 """
 
 from __future__ import annotations
@@ -34,6 +41,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("BATUKH_BENCH_CONVS", "110000"))
 REPS = int(os.environ.get("BATUKH_BENCH_REPS", "3"))
 MODE = os.environ.get("BATUKH_BENCH_MODE", "all")
+RAW_OUT = os.environ.get(
+    "BATUKH_BENCH_RAW_OUT",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH", "raw_samples_local.json"))
 SEED = 42
 
 BENCH_QUERIES = [
@@ -86,6 +97,10 @@ def bench_extraction(spark) -> dict:
         schema=kernels.lean_schema_sql(
             "conv_id string, turn_idx int, role string, tool string, "
             "ts timestamp")).count()
+    # warm the page cache over the corpus parquet: rep 1 otherwise
+    # measures cold-disk reads the later reps don't (round-3 driver
+    # samples: 315s cold vs 98s warm on identical work)
+    df.agg(F.sum(F.length("text"))).collect()
 
     # best-effort quiet start (bounded): this VM is shared-tenancy and
     # loadavg is broken on its kernel, so gate on /proc/stat busy frac
@@ -131,9 +146,11 @@ def bench_extraction(spark) -> dict:
         return total
 
     walls, host_cores, own_cores, rows, chars, errors = [], [], [], 0, 0, 0
+    busy_befores = []
     for rep in range(max(1, REPS)):
         workdir = tempfile.mkdtemp(prefix="batukh_bench_out_")
         try:
+            busy_befores.append(round(_busy(), 3))
             c0_tot, c0_idle = _cpu_snap()
             o0 = _tree_cpu_s()
             t0 = time.time()
@@ -165,6 +182,36 @@ def bench_extraction(spark) -> dict:
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
     med = statistics.median(walls)
+    # append the headline reps to the committed raw-samples file so the
+    # claimed median is always backed by on-disk samples with their
+    # weather columns (BENCH/BASELINE.md rule: every raw sample committed)
+    if RAW_OUT:
+        try:
+            per_rep = [
+                {"turns": rows, "wall_s": round(w, 3),
+                 "turns_per_sec": round(rows / w, 1),
+                 "host_cores_busy": host_cores[i],
+                 "own_cores_busy": own_cores[i],
+                 "busy_before": busy_befores[i],
+                 "cpus": CPUS, "n_convs": N_CONVS, "rep": i}
+                for i, w in enumerate(walls)]
+            batch = {
+                "name": "headline_local%d_%s" % (
+                    CPUS, time.strftime("%Y%m%dT%H%M%S")),
+                "samples": {str(CPUS): per_rep},
+                "summary": {"metric": "extraction_turns_per_sec",
+                            "median_turns_per_sec": round(rows / med, 1),
+                            "median_wall_s": round(med, 3),
+                            "reps": len(walls)}}
+            doc = json.load(open(RAW_OUT)) if os.path.exists(RAW_OUT) \
+                else {"batches": []}
+            doc.setdefault("batches", []).append(batch)
+            tmp = RAW_OUT + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(doc, f, indent=1)
+            os.replace(tmp, RAW_OUT)
+        except Exception as e:          # never fail the bench on logging
+            print(f"raw-sample append failed: {e}", file=sys.stderr)
     return {"turns": rows, "wall_s": round(med, 3),
             "turns_per_sec": round(rows / med, 1),
             "reps": len(walls),

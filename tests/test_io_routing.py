@@ -103,20 +103,48 @@ def test_parquet_dir_not_sniffed_as_jsonl(spark, tmp_path):
     assert bio.read_transcripts(spark, p).count() > 0
 
 
-def test_rewrite_manifest_is_atomic_and_recoverable(spark, tmp_path):
+def test_rewrite_manifest_versioned_commit_and_gc(spark, tmp_path):
+    """Object-store-safe compaction: survivors land in the NEXT
+    vNNNNNN dir (committed by _SUCCESS, no rename anywhere on the
+    data path), readers pick the highest committed version, and older
+    versions + legacy loose files are GC'd only after commit."""
     target = str(tmp_path / "manifest")
     df1 = spark.range(10).withColumn("status", F.lit("done"))
-    df1.write.parquet(target)
+    df1.write.parquet(target)        # legacy un-versioned layout
 
-    # compaction derived from the target itself: tmp-first write means
-    # the source is still readable while the survivor set materializes
+    # compaction derived from the target itself: the new-version write
+    # means the source stays readable while the survivors materialize,
+    # and it migrates the legacy layout to v000001
     survivors = bio.read_manifest(spark, target).filter("id < 4")
     bio.rewrite_manifest(survivors, target)
-    assert spark.read.parquet(target).count() == 4
-    assert not os.path.exists(target + ".tmp")
-    assert not os.path.exists(target + ".old")
+    assert bio.read_manifest(spark, target).count() == 4
+    assert os.path.exists(os.path.join(target, "v000001", "_SUCCESS"))
+    assert not any(f.endswith(".parquet") for f in os.listdir(target)
+                   if os.path.isfile(os.path.join(target, f)))
 
-    # crash-window recovery: target gone mid-swap, .old still present
-    os.rename(target, target + ".old")
+    # second compaction bumps the version and GCs the old one
+    bio.rewrite_manifest(bio.read_manifest(spark, target).filter("id < 2"),
+                         target)
+    assert bio.read_manifest(spark, target).count() == 2
+    assert os.path.exists(os.path.join(target, "v000002", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(target, "v000001"))
+
+
+def test_rewrite_manifest_crash_window_reads_old_version(spark, tmp_path):
+    """An UNCOMMITTED higher version (crash before _SUCCESS) must be
+    invisible: readers stay on the last committed version, and the
+    next compaction simply claims the following version number."""
+    target = str(tmp_path / "manifest")
+    bio.append_manifest(spark.range(6).withColumn("s", F.lit("done")),
+                        target)
+    assert bio.read_manifest(spark, target).count() == 6
+    # simulate a compaction that died mid-write: v000002 without _SUCCESS
+    crash = os.path.join(target, "v000002")
+    spark.range(1).write.parquet(crash)
+    os.remove(os.path.join(crash, "_SUCCESS"))
     m = bio.read_manifest(spark, target)
-    assert m is not None and m.count() == 4
+    assert m is not None and m.count() == 6
+    # appends keep landing in the committed version, not the orphan
+    bio.append_manifest(spark.range(2).withColumn("s", F.lit("done")),
+                        target)
+    assert bio.read_manifest(spark, target).count() == 8

@@ -47,7 +47,8 @@ def test_files_mode_run_and_resume(spark, dirs):
         .orderBy("conv_id", "turn_idx").collect()
 
     # partial failure: drop 2 units from manifest AND their output rows
-    m = spark.read.parquet(dirs["metrics"])
+    from batukh_spark.sources import io as bio
+    m = bio.read_manifest(spark, dirs["metrics"])
     victims = [r.unit for r in m.limit(2).collect()]
     kept_manifest = m.filter(~F.col("unit").isin(victims)).collect()
     kept_rows = out.filter(~F.col("unit").isin(victims)).collect()
@@ -96,7 +97,8 @@ def test_files_mode_resume_overwrites_not_appends(spark, dirs):
     pipeline.run_extraction(spark, dirs["src"], dirs["out"],
                             metrics=dirs["metrics"], run_id="r1")
     total = spark.read.parquet(dirs["out"]).count()
-    m = spark.read.parquet(dirs["metrics"])
+    from batukh_spark.sources import io as bio
+    m = bio.read_manifest(spark, dirs["metrics"])
     # simulate the crash: remove ONE unit's manifest row, keep its output
     victim = m.limit(1).collect()[0].unit
     survivors = m.filter(F.col("unit") != victim).collect()
@@ -121,13 +123,14 @@ def test_manifest_retention_compaction(spark, dirs):
     for i in range(4):  # 4 non-resume runs -> 4 manifest rows per unit
         pipeline.run_extraction(spark, dirs["src"], dirs["out"],
                                 metrics=dirs["metrics"], run_id=f"k{i}")
+    from batukh_spark.sources import io as bio
     n_units = pipeline.file_units(spark, dirs["src"]).count()
-    m = spark.read.parquet(dirs["metrics"])
+    m = bio.read_manifest(spark, dirs["metrics"])
     assert m.count() == 4 * n_units
     kept = pipeline.compact_manifest(spark, dirs["metrics"], max_to_keep=2)
     assert kept == 2 * n_units
     spark.catalog.refreshByPath(dirs["metrics"])
-    m2 = spark.read.parquet(dirs["metrics"])
+    m2 = bio.read_manifest(spark, dirs["metrics"])
     assert m2.count() == 2 * n_units
     # newest run survives for every unit; resume still sees all units done
     assert m2.filter(F.col("run_id") == "k3").count() == n_units

@@ -105,7 +105,8 @@ def test_pipeline_run_resume_identical(spark, tmpdirs):
 
     # simulate a partial failure: rewrite the manifest keeping only
     # units 0..3 done, and an output containing only those units
-    manifest = spark.read.parquet(tmpdirs["metrics"])
+    from batukh_spark.sources import io as bio
+    manifest = bio.read_manifest(spark, tmpdirs["metrics"])
     partial = manifest.filter(F.col("unit") < 4).collect()
     shutil.rmtree(tmpdirs["metrics"])
     spark.createDataFrame(partial, manifest.schema) \
@@ -131,7 +132,8 @@ def test_manifest_accounting(spark, tmpdirs):
     pipeline.run_extraction(spark, df, tmpdirs["out"],
                             metrics=tmpdirs["metrics"], run_id="runA",
                             n_units=4)
-    m = spark.read.parquet(tmpdirs["metrics"])
+    from batukh_spark.sources import io as bio
+    m = bio.read_manifest(spark, tmpdirs["metrics"])
     agg = m.agg(F.sum("rows_in").alias("ri"),
                 F.sum("rows_out").alias("ro"),
                 F.sum("n_errors").alias("ne")).collect()[0]

@@ -1,0 +1,246 @@
+"""Round-4 training-data operators: sequence packing, fingerprint
+candidate pairs, incremental cross-run dedup, the composed training
+mix, and the lang_id / simhash hardening guards.
+
+Cross-engine value equality is exercised by tools/check_queries.py
+(mirrors the driver gate); these tests pin SEMANTICS and the scale
+properties that SQL equality cannot see (plan shape, store contents).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batukh_spark.operators import dedup, textstats
+from batukh_spark.operators.text import chunk_documents, pack_sequences
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+
+def _expected_packing(chunks, seq_len):
+    """Pure-python reference: concat-and-split over (doc, idx) order."""
+    out, off = set(), 0
+    for doc, idx, n in sorted(chunks):
+        if n <= 0:
+            continue
+        s = off // seq_len
+        last = (off + n - 1) // seq_len
+        for seq in range(s, last + 1):
+            b = max(off, seq * seq_len)
+            e = min(off + n, (seq + 1) * seq_len)
+            out.add((doc, idx, seq, b - off, e - off, b - seq * seq_len))
+        off += n
+    return out
+
+
+def test_pack_sequences_matches_reference(spark):
+    rows = [(d, i, n) for d, i, n in
+            [(1, 0, 64), (1, 1, 30), (2, 0, 100), (2, 1, 7),
+             (3, 0, 0), (4, 0, 256), (5, 0, 1)]]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, n_tokens long")
+    got = {(r.doc_id, r.chunk_idx, r.seq_id, r.tok_begin, r.tok_end,
+            r.seq_pos)
+           for r in pack_sequences(df, seq_len=128).collect()}
+    assert got == _expected_packing(rows, 128)
+
+
+def test_pack_sequences_covers_every_token_exactly_once(spark):
+    """Concat-and-split invariants: the pieces of each chunk tile
+    [0, n_tokens) without gap or overlap, every sequence position is
+    used at most once, and no piece crosses a sequence boundary."""
+    docs = spark.createDataFrame(
+        [(i, "tok " * (5 + (i * 37) % 90)) for i in range(50)],
+        "doc_id long, text string")
+    chunks = chunk_documents(docs, max_tokens=16, overlap=4)
+    out = pack_sequences(chunks, seq_len=64).collect()
+    per_chunk = {}
+    used = set()
+    for r in out:
+        per_chunk.setdefault((r.doc_id, r.chunk_idx), []).append(r)
+        assert 0 <= r.seq_pos and r.seq_pos + (r.tok_end - r.tok_begin) \
+            <= 64
+        for p in range(r.seq_pos, r.seq_pos + r.tok_end - r.tok_begin):
+            assert (r.seq_id, p) not in used   # no double-booking
+            used.add((r.seq_id, p))
+    n_tok = {(r.doc_id, r.chunk_idx): r.n_tokens for r in chunks.collect()}
+    for key, pieces in per_chunk.items():
+        pieces.sort(key=lambda r: r.tok_begin)
+        assert pieces[0].tok_begin == 0
+        assert pieces[-1].tok_end == n_tok[key]
+        for a, b in zip(pieces, pieces[1:]):
+            assert a.tok_end == b.tok_begin
+    # all sequences except the last are exactly full
+    seq_fill = {}
+    for s, p in used:
+        seq_fill[s] = seq_fill.get(s, 0) + 1
+    for s in sorted(seq_fill)[:-1]:
+        assert seq_fill[s] == 64
+
+
+def test_pack_sequences_deterministic_under_partitioning(spark):
+    docs = spark.createDataFrame(
+        [(i, "word " * (3 + i % 40)) for i in range(60)],
+        "doc_id long, text string")
+    chunks = chunk_documents(docs, max_tokens=16, overlap=0)
+    a = set(map(tuple, pack_sequences(chunks, seq_len=48).collect()))
+    b = set(map(tuple, pack_sequences(chunks.repartition(7), seq_len=48)
+                .collect()))
+    assert a == b
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=8, overlap=9)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=8, overlap=-1)
+    with pytest.raises(ValueError):
+        pack_sequences(chunk_documents(docs), seq_len=0)
+
+
+# ---------------------------------------------------------------------------
+# fingerprint candidate pairs
+
+def test_fingerprint_candidates_shared_passage(spark):
+    shared = "zq8kw3vn7p2j unique passage text here"
+    df = spark.createDataFrame(
+        [(1, "first record containing " + shared),
+         (2, "second writeup holding " + shared),
+         (3, "totally unrelated third blob nothing matches anywhere")],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.n_shared_fps
+             for r in textstats.fingerprint_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_fingerprint_candidates_df_cap_drops_boilerplate(spark):
+    """A passage present in EVERY doc (boilerplate) must not emit the
+    all-pairs clique once its document frequency exceeds max_df."""
+    boiler = "standard footer text appended everywhere always"
+    df = spark.createDataFrame(
+        [(i, f"doc body number {i} " + boiler) for i in range(10)],
+        "doc_id long, text string")
+    out = textstats.fingerprint_candidate_pairs(df, max_df=5).collect()
+    # the boilerplate fingerprints have df=10 > 5 -> pruned; the doc
+    # bodies differ -> no (or almost no) surviving pairs vs 45 cliques
+    assert len(out) < 10
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-run dedup
+
+@pytest.fixture()
+def runs(spark, tmp_path):
+    a_rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely different second document about spark engines"),
+        (4, "a third historical document with its own distinct words"),
+    ]
+    b_rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),  # exact
+        (3, "the quick brown fox jumps over the lazy dog tonight ok"),  # near
+        (5, "an entirely new fifth document unlike anything stored"),
+        (7, ""),                                       # empty: no shingles
+    ]
+    a_path, b_path = str(tmp_path / "runA"), str(tmp_path / "runB")
+    spark.createDataFrame(a_rows, "doc_id long, text string") \
+        .write.parquet(a_path)
+    spark.createDataFrame(b_rows, "doc_id long, text string") \
+        .write.parquet(b_path)
+    store = str(tmp_path / "store")
+    dedup.build_signature_store(spark.read.parquet(a_path), store)
+    return a_path, b_path, store
+
+
+def test_incremental_keep_set_verdicts(spark, runs):
+    _, b_path, store = runs
+    out = {r.doc_id: r for r in dedup.incremental_keep_set(
+        spark, spark.read.parquet(b_path), store).collect()}
+    assert out[1].reason == "exact_dup" and not out[1].keep
+    assert out[3].reason == "near_dup" and not out[3].keep
+    assert out[5].reason == "unique" and out[5].keep
+    assert out[7].reason == "unique" and out[7].keep
+
+
+def test_incremental_store_holds_signatures_not_text(spark, runs):
+    """The store must allow run N+1 to dedup WITHOUT run N's text:
+    (a) no store table carries a text column; (b) the verdict plan
+    scans only the store and run N+1's path — run N's data path never
+    appears."""
+    a_path, b_path, store = runs
+    for sub in ("exact", "sigs", "bands"):
+        cols = spark.read.parquet(f"{store}/{sub}").columns
+        assert "text" not in cols, f"{sub} leaked text"
+    df = dedup.incremental_keep_set(
+        spark, spark.read.parquet(b_path), store)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "runA" not in physical
+    assert "runB" in physical and "store" in physical
+
+
+# ---------------------------------------------------------------------------
+# training mix composition
+
+def test_training_mix_end_to_end(spark):
+    good = ("the project report describes how the data pipeline is "
+            "built and that it runs well in the cluster today with "
+            "many documents to process and a stable design overall "
+            "for the team and the future of the whole system ") * 3
+    rows = [(1, good), (2, good),                      # exact dups
+            (3, "zz qq ww"),                           # low quality
+            (4, "xq " * 200)]                          # no lang verdict
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from batukh_spark.mix import training_mix
+    out = training_mix(df, rates={"en": 1.0}, default_rate=1.0,
+                       quality_min=0.45).collect()
+    docs_out = {r.doc_id for r in out}
+    assert docs_out == {1}          # 2 deduped, 3 gated, 4 lang-gated
+    assert all(r.pred_lang == "en" for r in out)
+    assert all(r.n_tokens <= 64 for r in out)
+    total = sum(r.n_tokens for r in out)
+    n_words = len(good.split())
+    # 64/8 overlapping windows re-cover 8 tokens per boundary
+    assert total >= n_words
+
+
+# ---------------------------------------------------------------------------
+# hardening guards
+
+def test_lang_id_cjk_script_gate(spark):
+    df = spark.createDataFrame(
+        [(1, "这是一个没有空格分词的中文句子"),            # unsegmented zh
+         (2, "これは日本語のテキストです"),                # ja (kana)
+         (3, "qwzx bnmp vcxz"),                           # no evidence
+         (4, "the cat and the dog in the house")],        # en
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.lang_id(df).collect()}
+    assert out[1].pred_lang == "zh" and out[1].hits >= 4
+    assert out[2].pred_lang == "ja"
+    assert out[3].pred_lang is None and out[3].hits == 0
+    assert out[4].pred_lang == "en"
+
+
+def test_simhash_candidates_drop_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\n\t"), (4, "real content words here"),
+         (5, "real content words here")],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.simhash_candidate_pairs(df).collect()}
+    # empty docs share the all-zero signature but must NOT pair up
+    assert pairs == {(4, 5)}
+
+
+def test_ivf_topk_missing_query_raises(spark, tmp_path):
+    from batukh_spark.operators import similarity
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7 + 1)] * 8) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    similarity.train_ivf(emb, idx, dim=8)
+    with pytest.raises(ValueError, match="not found"):
+        similarity.ivf_topk(spark, idx, query_id=999, k=3)
