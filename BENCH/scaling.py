@@ -17,11 +17,12 @@ Each level runs `bench.py` (BATUKH_BENCH_MODE=extract, 1 rep) in a fresh
 process (fresh JVM).  Repetitions are INTERLEAVED across levels so each
 rep samples one host-weather window; the reported numbers are MEDIANS
 per level plus the per-window paired efficiencies, and every raw sample
-is persisted to BENCH/raw_samples.json (best-of-N overstated by ~4x in
+is persisted to BENCH/raw_samples_local.json (best-of-N overstated by ~4x in
 round 1 and did not reproduce).
 
 Usage: python BENCH/scaling.py  [--convs 18000] [--runs 3]
-Writes BENCH/BASELINE.md + BENCH/raw_samples.json, prints one JSON line.
+Writes BENCH/SCALING.md + appends to BENCH/raw_samples_local.json,
+prints one JSON line.  (BENCH/BASELINE.md is hand-curated — not touched.)
 """
 
 from __future__ import annotations
@@ -212,10 +213,23 @@ def main():
     print(json.dumps(summary))
     suffix = "_standalone" if args.master else "_local"
     raw_path = os.path.join(REPO, "BENCH", f"raw_samples{suffix}.json")
-    with open(raw_path, "w") as f:
-        json.dump({"convs": args.convs,
-                   "samples": {str(c): samples[c] for c in levels},
-                   "summary": summary}, f, indent=1)
+    # APPEND a batch — the raw-samples file accumulates every committed
+    # sample across rounds (overwriting would orphan the history the
+    # committed claims cite)
+    import time as _time
+    doc = {"batches": []}
+    if os.path.exists(raw_path):
+        with open(raw_path) as f:
+            doc = json.load(f)
+    doc.setdefault("batches", []).append({
+        "name": "scaling_%s" % _time.strftime("%Y%m%dT%H%M%S"),
+        "convs": args.convs,
+        "samples": {str(c): samples[c] for c in levels},
+        "summary": summary})
+    tmp = raw_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+    os.replace(tmp, raw_path)
     print(f"wrote {raw_path}", file=sys.stderr)
     write_md(summary, samples, med, args.convs)
     return 0
@@ -236,7 +250,7 @@ def write_md(summary, samples, med, convs):
         "oracle per value, so equality holds by construction).",
         "",
         "All numbers are MEDIANS of interleaved repetitions; every raw",
-        "sample is committed in BENCH/raw_samples.json.  (Round 1 reported",
+        "sample is committed in BENCH/raw_samples_local.json.  (Round 1 reported",
         "best-of-N, which overstated ~4x under this host's 2-3x",
         "shared-tenancy load swings and did not reproduce — medians do.)",
         "",

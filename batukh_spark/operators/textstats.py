@@ -255,8 +255,17 @@ def fingerprint_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     0.2-4% of pairs); raise it for passage-level recall at the cost of
     quadratic-in-df bucket work."""
     grams = char_grams_md5(F.col(text_col), k)
+    # materialize the fingerprint table ONCE (lazy localCheckpoint):
+    # the md5-per-gram winnowing chain is the expensive part (O(text
+    # bytes) hashes per doc, interpreted HOF) and appears in THREE
+    # subplans below (df counts + both self-join sides) — without the
+    # checkpoint it executes three times (measured 84s -> 48s at
+    # sf0.1; the remainder is the single intrinsic winnowing pass).
+    # The checkpointed rows are (id, 32B fp) — the MOSS index a
+    # production run would persist anyway.
     fps = docs.select(F.col(id_col),
-                      F.explode(_winnow_mins(grams, w)).alias("fp"))
+                      F.explode(_winnow_mins(grams, w)).alias("fp")) \
+        .localCheckpoint(eager=False)
     rare = (fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= max_df)

@@ -53,7 +53,8 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs", "dedup_clusters", "simhash_adjacent_hamming",
     "simhash_candidates", "lsh_jaccard_verified", "corpus_keep_set",
     "fingerprint_winnow", "token_counts", "quality_score", "lang_id",
-    "chunk_documents", "corpus_sample",
+    "chunk_documents", "corpus_sample", "pack_sequences",
+    "fingerprint_candidates", "incremental_keep_set", "training_mix",
     "cosine_topk", "ivf_cluster_sizes", "srp_near_dup", "media_features",
     "video_frame_sample",
 ]
