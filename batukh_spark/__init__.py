@@ -20,6 +20,7 @@ Package layout:
   corpus.py   deterministic synthetic transcript corpus generator
   pipeline.py full extraction job: salting, manifests, resume
   operators/  training-data-pipeline operators (dedup, ANN, text stats, ...)
+  mix.py      composed training-mix pipeline (dedup -> gate -> sample -> chunk)
   sources/    IO abstraction (Iceberg-or-parquet)
   cli.py      spark-submit entry point
 """

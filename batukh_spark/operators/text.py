@@ -72,6 +72,44 @@ def chunk_documents(docs, max_tokens: int = 64, overlap: int = 8,
     return docs.select(F.col(id_col), F.inline(arr))
 
 
+# PII/cleanup regexes — shared literally with the SQL oracle (Java
+# regex and RE2 agree on this subset: char classes, {m,n}, alternation;
+# no lookaround, no backreferences)
+RE_URL = r"https?://[^\s]+"
+RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RE_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+RE_CTRL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def redact_pii(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Training-data hygiene pass: redact emails / URLs / IPv4s to
+    typed placeholders, strip C0 control characters (keeping \\t \\n
+    \\r), collapse runs of spaces/tabs, and count what was removed.
+    Returns (id, clean_text, n_urls, n_emails, n_ips, n_ctrl).
+
+    Order matters: URLs first (an email-shaped substring inside a URL
+    is part of the URL), then emails, then bare IPv4s.  Counts are
+    taken on the ORIGINAL text.  Everything is a codegen'd
+    regexp_replace / regexp_extract_all chain — scan-local, zero
+    shuffle, and the regex subset is chosen so DuckDB's RE2 computes
+    the identical result (no lookaround / backreferences)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_urls = F.size(F.regexp_extract_all(c, F.lit(RE_URL), 0))
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(RE_EMAIL), 0))
+    n_ips = F.size(F.regexp_extract_all(c, F.lit(RE_IPV4), 0))
+    n_ctrl = F.size(F.regexp_extract_all(c, F.lit(RE_CTRL), 0))
+    clean = F.regexp_replace(c, RE_URL, "<URL>")
+    clean = F.regexp_replace(clean, RE_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, RE_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, RE_CTRL, "")
+    clean = F.regexp_replace(clean, r"[ \t]{2,}", " ")
+    return docs.select(F.col(id_col), clean.alias("clean_text"),
+                       n_urls.alias("n_urls"),
+                       n_emails.alias("n_emails"),
+                       n_ips.alias("n_ips"),
+                       n_ctrl.alias("n_ctrl"))
+
+
 def pack_sequences(chunks, seq_len: int = 256,
                    doc_col: str = "doc_id", idx_col: str = "chunk_idx",
                    ntok_col: str = "n_tokens"):

@@ -1452,6 +1452,61 @@ left join near_hit n on n.doc_id = b.doc_id
 """
 
 
+def pii_redact_q(spark, sf):
+    """PII redaction + cleanup over documents augmented with templated
+    PII (every third doc gets an email + URL + IPv4 appended in pure
+    SQL-reproducible form, since the synthetic corpus contains none)."""
+    from batukh_spark.operators.text import redact_pii
+    docs = t_spread(spark, sf, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.org/d?id="),
+        F.col("doc_id").cast("string"),
+        F.lit(" from 10.0.0.1 now"))
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, pii).otherwise(F.col("text"))
+        .alias("text"))
+    out = redact_pii(aug)
+    return out.select("doc_id", "clean_text",
+                      F.col("n_urls").cast("long").alias("n_urls"),
+                      F.col("n_emails").cast("long").alias("n_emails"),
+                      F.col("n_ips").cast("long").alias("n_ips"),
+                      F.col("n_ctrl").cast("long").alias("n_ctrl"))
+
+
+def _pii_redact_sql() -> str:
+    from batukh_spark.operators.text import (RE_CTRL, RE_EMAIL, RE_IPV4,
+                                             RE_URL)
+    return f"""
+with aug as (
+  select doc_id,
+         case when doc_id % 3 = 0 then
+           text || ' contact user' || doc_id::varchar
+                || '@example.com via https://ex.org/d?id='
+                || doc_id::varchar || ' from 10.0.0.1 now'
+         else text end as text
+  from documents
+)
+select doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(text, '{RE_URL}', '<URL>', 'g'),
+         '{RE_EMAIL}', '<EMAIL>', 'g'),
+         '{RE_IPV4}', '<IP>', 'g'),
+         '{RE_CTRL}', '', 'g'),
+         '[ \\t]{{2,}}', ' ', 'g') as clean_text,
+       len(regexp_extract_all(text, '{RE_URL}')) as n_urls,
+       len(regexp_extract_all(text, '{RE_EMAIL}')) as n_emails,
+       len(regexp_extract_all(text, '{RE_IPV4}')) as n_ips,
+       len(regexp_extract_all(text, '{RE_CTRL}')) as n_ctrl
+from aug
+"""
+
+
+PII_REDACT_SQL = _pii_redact_sql()
+
+
 def training_mix_q(spark, sf):
     """CAPSTONE — the composed training-mix pipeline as ONE chained
     DataFrame job: kernel HTML extraction over templated payloads ->
@@ -1886,6 +1941,7 @@ QUERIES = {
     "incremental_keep_set": (incremental_keep_set_q,
                              INCREMENTAL_KEEP_SET_SQL),
     "training_mix": (training_mix_q, TRAINING_MIX_SQL),
+    "pii_redact": (pii_redact_q, PII_REDACT_SQL),
     "media_features": (media_features_q, MEDIA_SQL),
     "video_frame_sample": (video_frame_sample_q, VIDEO_FRAME_SQL),
     # flagship extraction kernels over SQL-templated payloads

@@ -94,6 +94,40 @@ def streaming_exact_dedup(spark: SparkSession, source_dir: str,
             .dropDuplicatesWithinWatermark(["text_hash"]))
 
 
+def streaming_store_dedup(spark: SparkSession, source_dir: str,
+                          store_dir: str):
+    """Streaming twin of `operators.dedup.incremental_keep_set`'s
+    exact path: continuously-arriving transcripts are flagged against
+    the PERSISTED signature store of previous runs via a stream-static
+    left join on the canonical-text hash — the production-crawler
+    shape, where new data is checked against all history without ever
+    rescanning it.
+
+    Stateless (no watermark needed): the static side is the store's
+    (text_hash) table, re-read per micro-batch by Spark's stream-static
+    join semantics, so a store updated between batches is picked up.
+    Output = input rows + (text_hash, is_dup_of_history).  Compose with
+    `streaming_exact_dedup` upstream to also dedup WITHIN the stream.
+
+    Returns an unstarted streaming DataFrame (caller picks the sink).
+    """
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.dedup import canonical_text
+
+    store = (spark.read.parquet(f"{store_dir}/exact")
+             .select("text_hash", F.lit(True).alias("__hit")))
+    stream = (spark.readStream
+              .schema(TRANSCRIPTS_SCHEMA)
+              .parquet(source_dir))
+    hashed = stream.withColumn(
+        "text_hash", F.md5(canonical_text(F.col("text"))))
+    return (hashed.join(store, "text_hash", "left")
+            .withColumn("is_dup_of_history",
+                        F.coalesce(F.col("__hit"), F.lit(False)))
+            .drop("__hit"))
+
+
 # output schema of the stateful conversation assembler
 CONV_STATE_SCHEMA = ("conv_id string, n_turns long, last_turn_idx int, "
                      "n_tool_turns long")

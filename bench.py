@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "fingerprint_winnow", "token_counts", "quality_score", "lang_id",
     "chunk_documents", "corpus_sample", "pack_sequences",
     "fingerprint_candidates", "incremental_keep_set", "training_mix",
+    "pii_redact",
     "cosine_topk", "ivf_cluster_sizes", "srp_near_dup", "media_features",
     "video_frame_sample",
 ]

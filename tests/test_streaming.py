@@ -96,3 +96,35 @@ def test_conv_progress_stateful(spark, dirs):
                 F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
                 .cast("long").alias("tools")).collect()}
     assert got == want
+
+
+def test_streaming_store_dedup_flags_history(spark, dirs, tmp_path):
+    """Stream-static join against the persisted signature store: rows
+    whose canonical text already exists in run N's store are flagged,
+    brand-new rows are not — the streaming twin of incremental
+    cross-run dedup (exact path)."""
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.dedup import build_signature_store
+    from batukh_spark.streaming.incremental import streaming_store_dedup
+
+    hist = make_transcripts(spark, 10, partitions=2)
+    store = str(tmp_path / "store")
+    build_signature_store(
+        hist.selectExpr("conv_id as doc_id", "text"), store)
+    # stream = 6 historical conversations re-arriving + 8 new ones
+    seen = make_transcripts(spark, 6, partitions=1)
+    new = make_transcripts(spark, 18, partitions=1) \
+        .filter("cast(substr(conv_id, 6) as int) >= 10")
+    seen.unionByName(new).write.parquet(dirs["src"])
+    q = (streaming_store_dedup(spark, dirs["src"], store)
+         .writeStream.format("memory").queryName("ssd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select conv_id, is_dup_of_history from ssd")
+    agg = {r.conv_id: r.dup for r in
+           got.groupBy("conv_id")
+           .agg(F.max("is_dup_of_history").alias("dup")).collect()}
+    for cid, dup in agg.items():
+        idx = int(cid.split("-")[-1])
+        assert dup == (idx < 10), (cid, dup)

@@ -235,6 +235,28 @@ def test_simhash_candidates_drop_empty_docs(spark):
     assert pairs == {(4, 5)}
 
 
+def test_redact_pii(spark):
+    from batukh_spark.operators.text import redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@corp.example.org today"),
+         (2, "see https://ex.org/a?b=c&d=e and http://plain.net/x"),
+         (3, "host 192.168.0.1 and 10.0.0.255 are up"),
+         (4, "bad\x00chars\x07here\tbut tabs  and   runs collapse"),
+         (5, "visit https://site.io/u?email=a@b.co for info")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].clean_text == "mail me at <EMAIL> today"
+    assert out[1].n_emails == 1
+    assert out[2].clean_text == "see <URL> and <URL>"
+    assert out[2].n_urls == 2
+    assert out[3].clean_text == "host <IP> and <IP> are up"
+    assert out[3].n_ips == 2
+    assert out[4].n_ctrl == 2
+    assert out[4].clean_text == "badcharshere\tbut tabs and runs collapse"
+    # an email inside a URL is part of the URL (replacement order)
+    assert out[5].clean_text == "visit <URL> for info"
+
+
 def test_ivf_topk_missing_query_raises(spark, tmp_path):
     from batukh_spark.operators import similarity
     emb = spark.createDataFrame(
