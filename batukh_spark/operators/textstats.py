@@ -204,7 +204,9 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
 
 def _winnow_mins(grams, w: int):
     """Distinct window-of-w minima over a gram-hash array (the
-    winnowing selection); all grams when there are fewer than w."""
+    winnowing selection); all grams when there are fewer than w.
+    Scan-local (zero shuffle) but interpreted per element — use
+    `_winnow_fps` for the bulk cross-doc path."""
     n_grams = F.size(grams)
     win_idx = F.sequence(F.lit(1), n_grams - F.lit(w - 1))
     return F.when(
@@ -213,6 +215,44 @@ def _winnow_mins(grams, w: int):
             win_idx, lambda j: F.array_min(
                 F.slice(grams, j.cast("int"), w))))) \
         .otherwise(F.array_distinct(grams))
+
+
+def _winnow_fps(docs: DataFrame, id_col: str, text_col: str,
+                k: int, w: int) -> DataFrame:
+    """Distinct (id, fp) winnowing fingerprints via WHOLE-STAGE-CODEGEN
+    hashing: posexplode gram positions -> codegen md5(substring) -> a
+    doc-keyed window min over the next w-1 rows -> distinct.  Value-
+    identical to exploding `_winnow_mins` (verified on the full test
+    corpus) but ~20x faster (78s -> 3.5s at sf0.1): nested higher-order
+    lambdas are INTERPRETED per element, while this shape keeps every
+    md5 and comparison inside codegen — the same explode-instead-of-
+    transform trick minhash_signature uses.  Cost: one shuffle of
+    (id, 32B hash) pairs for the window — which the candidate
+    self-join needs co-location for anyway."""
+    from pyspark.sql import Window
+    c = F.col(text_col)
+    base = docs.select(F.col(id_col), c.alias("__t"),
+                       (F.length(c) - (k - 1)).alias("__n")) \
+        .filter(F.col("__n") >= 1)
+    grams = base.select(
+        F.col(id_col), F.col("__n"),
+        F.posexplode(F.sequence(F.lit(1), F.col("__n")))
+        .alias("__p", "__i"),
+        F.col("__t")).select(
+        F.col(id_col), F.col("__n"), F.col("__i"),
+        F.md5(F.expr(f"substring(__t, __i, {k})")).alias("__g"))
+    win = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, w - 1)
+    mins = grams.select(
+        F.col(id_col), F.col("__n"), F.col("__i"), F.col("__g"),
+        F.min("__g").over(win).alias("__m"))
+    # n >= w: windows starting at i <= n-w+1; n < w: every gram itself
+    return (mins
+            .filter((F.col("__n") < w)
+                    | (F.col("__i") <= F.col("__n") - (w - 1)))
+            .select(F.col(id_col),
+                    F.when(F.col("__n") < w, F.col("__g"))
+                    .otherwise(F.col("__m")).alias("fp"))
+            .distinct())
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
@@ -254,17 +294,12 @@ def fingerprint_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     passages (measured on the test corpus: cap 100 ~ all-pairs, cap 5 ~
     0.2-4% of pairs); raise it for passage-level recall at the cost of
     quadratic-in-df bucket work."""
-    grams = char_grams_md5(F.col(text_col), k)
-    # materialize the fingerprint table ONCE (lazy localCheckpoint):
-    # the md5-per-gram winnowing chain is the expensive part (O(text
-    # bytes) hashes per doc, interpreted HOF) and appears in THREE
-    # subplans below (df counts + both self-join sides) — without the
-    # checkpoint it executes three times (measured 84s -> 48s at
-    # sf0.1; the remainder is the single intrinsic winnowing pass).
-    # The checkpointed rows are (id, 32B fp) — the MOSS index a
-    # production run would persist anyway.
-    fps = docs.select(F.col(id_col),
-                      F.explode(_winnow_mins(grams, w)).alias("fp")) \
+    # codegen winnowing (see _winnow_fps), materialized ONCE via lazy
+    # localCheckpoint: the fingerprint table feeds THREE subplans below
+    # (df counts + both self-join sides).  The checkpointed rows are
+    # (id, 32B fp) — the MOSS index a production run would persist
+    # anyway.
+    fps = _winnow_fps(docs, id_col, text_col, k, w) \
         .localCheckpoint(eager=False)
     rare = (fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("__df"))
