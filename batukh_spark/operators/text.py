@@ -184,6 +184,42 @@ def pack_sequences(chunks, seq_len: int = 256,
                          F.inline(pieces))
 
 
+def assemble_sequences(chunks, seq_len: int = 256,
+                       doc_col: str = "doc_id",
+                       idx_col: str = "chunk_idx",
+                       ntok_col: str = "n_tokens",
+                       text_col: str = "chunk_text"):
+    """Materialize the TRAINING ROWS: `pack_sequences` piece layout
+    joined back to the chunk text, token-sliced, and assembled into
+    one row per fixed-length sequence — (seq_id, n_tokens, seq_text).
+    Every sequence except the last has exactly seq_len tokens; a
+    chunk's text is split at the sequence boundary exactly where the
+    packing math put it.
+
+    Scale: the packing math runs on (doc, idx, n) triples only (see
+    pack_sequences); text joins back by (doc, idx) key — one shuffle
+    of the chunk text, sized by the corpus, not by pair counts.  The
+    final assembly is a groupBy(seq_id) whose groups are bounded by
+    seq_len tokens."""
+    pieces = pack_sequences(chunks, seq_len, doc_col, idx_col, ntok_col)
+    withtext = pieces.join(
+        chunks.select(doc_col, idx_col, text_col), [doc_col, idx_col])
+    toks = F.split(F.col(text_col), " ")
+    piece_text = F.array_join(
+        F.slice(toks, (F.col("tok_begin") + 1).cast("int"),
+                (F.col("tok_end") - F.col("tok_begin")).cast("int")), " ")
+    placed = withtext.select(
+        F.col("seq_id"),
+        F.struct(F.col("seq_pos"), piece_text.alias("t")).alias("__p"),
+        (F.col("tok_end") - F.col("tok_begin")).alias("__n"))
+    return (placed.groupBy("seq_id")
+            .agg(F.sum("__n").cast("long").alias("n_tokens"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list("__p")),
+                                 lambda s: s["t"]), " ")
+                 .alias("seq_text")))
+
+
 def char_grams_md5(text: Column | str, k: int = 8) -> Column:
     """md5 of every k-char gram of the raw text (rolling-hash analogue)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -1324,6 +1324,44 @@ from g, unnest(generate_series(gstart // 256,
 """
 
 
+def packed_sequences_q(spark, sf):
+    """Materialized training rows: 64/8 chunks packed concat-and-split
+    into 256-token sequences WITH the assembled text — one row per
+    training sequence (the artifact a dataloader reads)."""
+    from batukh_spark.operators.text import (assemble_sequences,
+                                             chunk_documents)
+    chunks = chunk_documents(t_spread(spark, sf, "documents"),
+                             max_tokens=64, overlap=8)
+    return assemble_sequences(chunks, seq_len=256)
+
+
+PACKED_SEQUENCES_SQL = "with " + _chunk_sql("documents") + """
+, g as (
+  select doc_id, chunk_idx, n_tokens, chunk_text,
+         coalesce(sum(n_tokens) over (
+           order by doc_id, chunk_idx
+           rows between unbounded preceding and 1 preceding),
+           0)::bigint as gstart
+  from chunks where n_tokens > 0
+), pieces as (
+  select doc_id, chunk_idx, chunk_text, s::bigint as seq_id,
+         (greatest(gstart, s * 256) - gstart)::bigint as tok_begin,
+         (least(gstart + n_tokens, (s + 1) * 256) - gstart)::bigint
+           as tok_end,
+         (greatest(gstart, s * 256) - s * 256)::bigint as seq_pos
+  from g, unnest(generate_series(gstart // 256,
+                                 (gstart + n_tokens - 1) // 256)) as t(s)
+)
+select seq_id,
+       sum(tok_end - tok_begin)::bigint as n_tokens,
+       string_agg(array_to_string(
+         (string_split(chunk_text, ' '))[tok_begin+1 : tok_end], ' '),
+         ' ' order by seq_pos) as seq_text
+from pieces
+group by seq_id
+"""
+
+
 def fingerprint_candidates_q(spark, sf):
     """Passage-level near-dup candidate pairs from winnowing
     fingerprints (k=8 char grams, window 4, document-frequency cap) —
@@ -1936,6 +1974,7 @@ QUERIES = {
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
     "corpus_sample": (corpus_sample, CORPUS_SAMPLE_SQL),
     "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),
+    "packed_sequences": (packed_sequences_q, PACKED_SEQUENCES_SQL),
     "fingerprint_candidates": (fingerprint_candidates_q,
                                FINGERPRINT_CANDIDATES_SQL),
     "incremental_keep_set": (incremental_keep_set_q,

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "simhash_candidates", "lsh_jaccard_verified", "corpus_keep_set",
     "fingerprint_winnow", "token_counts", "quality_score", "lang_id",
     "chunk_documents", "corpus_sample", "pack_sequences",
+    "packed_sequences",
     "fingerprint_candidates", "incremental_keep_set", "training_mix",
     "pii_redact",
     "cosine_topk", "ivf_cluster_sizes", "srp_near_dup", "media_features",

@@ -89,6 +89,29 @@ def test_pack_sequences_deterministic_under_partitioning(spark):
     assert a == b
 
 
+def test_assemble_sequences_reconstructs_token_stream(spark):
+    """The assembled seq_texts, concatenated in seq_id order, must be
+    EXACTLY the concatenation of the chunk texts in (doc, idx) order —
+    packing may split chunks across sequences but never lose, reorder,
+    or duplicate a token; every sequence but the last is full."""
+    from batukh_spark.operators.text import assemble_sequences
+    docs = spark.createDataFrame(
+        [(i, "w%d " % i * (7 + (i * 31) % 60)) for i in range(40)],
+        "doc_id long, text string")
+    chunks = chunk_documents(docs, max_tokens=16, overlap=0)
+    seqs = sorted(assemble_sequences(chunks, seq_len=48).collect(),
+                  key=lambda r: r.seq_id)
+    stream = " ".join(r.seq_text for r in seqs).split(" ")
+    want = []
+    for r in sorted(chunks.collect(),
+                    key=lambda r: (r.doc_id, r.chunk_idx)):
+        want.extend(r.chunk_text.split(" "))
+    assert stream == want
+    for r in seqs[:-1]:
+        assert r.n_tokens == 48
+        assert len(r.seq_text.split(" ")) == 48
+
+
 def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
