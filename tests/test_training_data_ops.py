@@ -112,6 +112,45 @@ def test_assemble_sequences_reconstructs_token_stream(spark):
         assert len(r.seq_text.split(" ")) == 48
 
 
+def test_pack_sequences_plan_has_no_global_window(spark):
+    """The prefix sum must never collapse to a single partition (the
+    canonical global-window scale-killer): the window's exchange is
+    hash-partitioned on the physical-partition key, not
+    SinglePartition."""
+    docs = spark.createDataFrame(
+        [(i, "tok " * 20) for i in range(20)],
+        "doc_id long, text string")
+    chunks = chunk_documents(docs, max_tokens=8, overlap=0)
+    df = pack_sequences(chunks, seq_len=32)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in physical
+    assert "SinglePartition" not in physical
+    assert "hashpartitioning(__part" in physical
+
+
+def test_winnow_fps_plan_is_codegen_not_interpreted(spark):
+    """The bulk winnowing path must stay inside whole-stage codegen:
+    no interpreted higher-order lambda (the 22x regression would be
+    silent otherwise) — and it must equal the interpreted reference."""
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.text import char_grams_md5
+    from batukh_spark.operators.textstats import _winnow_fps, _winnow_mins
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrst"), (2, "zyxwvutsrqpon"), (3, "shrt"),
+         (4, "")],
+        "doc_id long, text string")
+    fast = _winnow_fps(docs, "doc_id", "text", 8, 4)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in plan     # no interpreted HOF
+    ref = docs.select(
+        F.col("doc_id"),
+        F.explode(_winnow_mins(char_grams_md5(F.col("text"), 8), 4))
+        .alias("fp"))
+    assert (set(map(tuple, fast.collect()))
+            == set(map(tuple, ref.collect())))
+
+
 def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
