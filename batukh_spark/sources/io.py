@@ -93,9 +93,14 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
-def _version_dirs(spark: SparkSession, target: str) -> list:
-    """Sorted [(n, uri)] of COMMITTED manifest version dirs (vNNNNNN
-    containing _SUCCESS) under `target`."""
+def _version_dirs(spark: SparkSession, target: str,
+                  committed_only: bool = True) -> list:
+    """Sorted [(n, uri)] of manifest version dirs (vNNNNNN) under
+    `target` — by default only COMMITTED ones (containing _SUCCESS).
+    `committed_only=False` also returns orphans left by a crashed
+    write: callers use that to (a) route versioned-vs-legacy on the
+    LAYOUT rather than on commit state and (b) pick the next version
+    number above any orphan instead of colliding with it."""
     import re
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, target)
@@ -105,8 +110,9 @@ def _version_dirs(spark: SparkSession, target: str) -> list:
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and re.fullmatch(r"v\d{6}", name):
-            if fs.exists(jvm.org.apache.hadoop.fs.Path(
-                    st.getPath(), "_SUCCESS")):
+            if not committed_only or fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        st.getPath(), "_SUCCESS")):
                 out.append((int(name[1:]), st.getPath().toString()))
     return sorted(out)
 
@@ -115,7 +121,15 @@ def append_manifest(df: DataFrame, target: str) -> None:
     """Append manifest rows into the CURRENT version dir (vNNNNNN) of
     the versioned layout — created at v000001 on first write.  A
     legacy un-versioned store (loose part files at the root) keeps
-    receiving root appends until its first compaction migrates it."""
+    receiving root appends until its first compaction migrates it.
+
+    Versioned-vs-legacy routing keys on the PRESENCE of any vNNNNNN
+    dir, committed or not: a crashed first write leaves an orphan
+    version dir without _SUCCESS, and the store must stay versioned —
+    appends then open the NEXT version number rather than writing into
+    the possibly-torn orphan (a crash during commitJob can leave a
+    subset of task files behind; committing on top of them would
+    surface the torn rows)."""
     spark = df.sparkSession
     if _is_catalog_table(spark, target):
         df.writeTo(target).append()
@@ -123,6 +137,14 @@ def append_manifest(df: DataFrame, target: str) -> None:
     vers = _version_dirs(spark, target)
     if vers:
         df.write.mode("append").parquet(vers[-1][1])
+        return
+    allv = _version_dirs(spark, target, committed_only=False)
+    if allv:
+        # versioned layout with only uncommitted orphans: start fresh
+        # above the highest orphan (GC'd at the next compaction)
+        next_n = allv[-1][0] + 1
+        df.write.mode("append").parquet(
+            f"{target.rstrip('/')}/v{next_n:06d}")
         return
     fs, root = _hadoop_fs(spark, target)
     if fs.exists(root) and any(not st.getPath().getName().startswith("_")
@@ -155,13 +177,15 @@ def rewrite_manifest(df: DataFrame, target: str) -> None:
         return
     jvm = spark._jvm
     base = target.rstrip("/")
-    vers = _version_dirs(spark, target)
-    next_n = (vers[-1][0] + 1) if vers else 1
+    # number above ANY existing version dir (committed or orphaned) so
+    # the new snapshot never lands inside a torn crash leftover
+    allv = _version_dirs(spark, target, committed_only=False)
+    next_n = (allv[-1][0] + 1) if allv else 1
     df.write.mode("overwrite").parquet(f"{base}/v{next_n:06d}")
-    # committed — GC every older version, legacy loose root files, and
-    # pre-versioning .tmp/.old siblings
+    # committed — GC every older version (including orphans), legacy
+    # loose root files, and pre-versioning .tmp/.old siblings
     fs, root = _hadoop_fs(spark, target)
-    for n, uri in vers:
+    for n, uri in allv:
         if n < next_n:
             fs.delete(jvm.org.apache.hadoop.fs.Path(uri), True)
     for st in fs.listStatus(root):
@@ -177,14 +201,23 @@ def rewrite_manifest(df: DataFrame, target: str) -> None:
 def read_manifest(spark: SparkSession, target: str) -> DataFrame | None:
     """Read the committed manifest: highest vNNNNNN version dir with
     _SUCCESS, falling back to the legacy un-versioned layout (root
-    parquet, then the pre-versioning `.old` swap sibling)."""
-    try:
-        if _is_catalog_table(spark, target):
-            return spark.read.table(target)
-        vers = _version_dirs(spark, target)
-        if vers:
-            return spark.read.parquet(vers[-1][1])
-    except Exception:
+    parquet, then the pre-versioning `.old` swap sibling).
+
+    Errors on the catalog / versioned path PROPAGATE: a transient IO
+    failure on a store that has committed versions must not be
+    reported as "no manifest" — that would make resume silently
+    re-extract every unit and append duplicate manifest rows.  Only
+    the legacy probes (where a missing path is the normal first-run
+    signal) swallow exceptions."""
+    if _is_catalog_table(spark, target):
+        return spark.read.table(target)
+    vers = _version_dirs(spark, target)
+    if vers:
+        return spark.read.parquet(vers[-1][1])
+    if _version_dirs(spark, target, committed_only=False):
+        # versioned layout whose only versions are uncommitted orphans:
+        # nothing committed yet — and the legacy root read below would
+        # recursively pick up the orphan's torn part files
         return None
     for path in (target, target.rstrip("/") + ".old"):
         try:

@@ -148,3 +148,57 @@ def test_rewrite_manifest_crash_window_reads_old_version(spark, tmp_path):
     bio.append_manifest(spark.range(2).withColumn("s", F.lit("done")),
                         target)
     assert bio.read_manifest(spark, target).count() == 8
+
+
+def test_orphan_only_store_stays_versioned(spark, tmp_path):
+    """A crashed FIRST write leaves an orphan vNNNNNN without _SUCCESS.
+    The store must still be treated as VERSIONED: reads report no
+    committed manifest (never a recursive legacy read that would pick
+    up the orphan's torn part files), and the next append opens the
+    NEXT version number instead of writing into the torn dir or
+    landing loose at the root."""
+    target = str(tmp_path / "manifest")
+    orphan = os.path.join(target, "v000001")
+    spark.range(3).withColumn("s", F.lit("torn")).write.parquet(orphan)
+    os.remove(os.path.join(orphan, "_SUCCESS"))
+
+    # nothing committed -> no manifest, and the torn rows are invisible
+    assert bio.read_manifest(spark, target) is None
+
+    bio.append_manifest(spark.range(5).withColumn("s", F.lit("done")),
+                        target)
+    # append skipped the orphan and committed v000002
+    assert os.path.exists(os.path.join(target, "v000002", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(orphan, "_SUCCESS"))
+    m = bio.read_manifest(spark, target)
+    assert m.count() == 5 and m.filter("s = 'torn'").count() == 0
+    # no loose legacy files were written at the root
+    assert all(os.path.isdir(os.path.join(target, f)) or f.startswith("_")
+               for f in os.listdir(target))
+
+    # compaction numbers above EVERY existing dir and GCs the orphan
+    bio.rewrite_manifest(bio.read_manifest(spark, target).filter("id < 2"),
+                         target)
+    assert os.path.exists(os.path.join(target, "v000003", "_SUCCESS"))
+    assert not os.path.exists(orphan)
+    assert bio.read_manifest(spark, target).count() == 2
+
+
+def test_read_manifest_propagates_versioned_read_errors(spark, tmp_path):
+    """A transient IO failure on a store that HAS committed versions
+    must PROPAGATE, not be swallowed into 'no manifest' (which would
+    make resume re-extract every unit and append duplicate rows)."""
+    import pytest
+
+    target = str(tmp_path / "manifest")
+    bio.append_manifest(spark.range(4).withColumn("s", F.lit("done")),
+                        target)
+    assert bio.read_manifest(spark, target).count() == 4
+    # corrupt the committed version's data file: the read must raise
+    vdir = os.path.join(target, "v000001")
+    for f in os.listdir(vdir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(vdir, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        bio.read_manifest(spark, target).collect()
