@@ -18,9 +18,15 @@ page (/root/reference/batukh/torch/segmenter.py:394-573) — here the
 
 Scale: each stage's story is documented at its definition; the chain
 adds only key joins on doc id between stages.  The input should be a
-materialized extraction (or persisted DataFrame) — keep_set, the gates,
-and chunking each traverse the corpus, so an unpersisted upstream
-would re-run its lineage per traversal.
+materialized extraction (or persisted DataFrame) — keep_set traverses
+it several times before the first internal materialization point.  The
+multiply-consumed INTERNAL frontiers (`kept`: dedup verdict applied,
+feeds the quality gate, the language gate, and the gated join;
+`sampled`: feeds chunking and the final metadata join) are
+localCheckpointed inside `training_mix`, so the dedup + gate lineage
+runs once regardless of how many downstream stages traverse it —
+executor-local storage sized by the surviving corpus, the price of
+not re-running the LSH dedup chain per consumer.
 """
 
 from __future__ import annotations
@@ -39,18 +45,37 @@ def training_mix(docs: DataFrame, rates: dict[str, float],
                  max_tokens: int = 64, overlap: int = 8,
                  salt: str = "mix1",
                  id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 benchmark: DataFrame | None = None,
+                 decontam_n: int = 13) -> DataFrame:
     """docs(doc_id, text) -> one row per training chunk:
     (doc_id, chunk_idx, n_tokens, chunk_text, pred_lang, quality).
 
     Stages: (1) corpus dedup verdict keeps `keep = true` docs only;
-    (2) gate: quality >= quality_min AND a non-null language verdict
-    (lang_id returns NULL when it has no evidence — such docs are not
-    trainable mixture members); (3) deterministic hash-gated stratified
-    sampling on pred_lang with `rates`/`default_rate`; (4) context-
-    window chunking at (max_tokens, overlap)."""
+    (1b) if `benchmark` is given, benchmark decontamination drops every
+    doc sharing any decontam_n-token gram with it (operators.decontam —
+    eval-overlap removal, the gate every production pretraining run
+    needs); (2) gate: quality >= quality_min AND a non-null language
+    verdict (lang_id returns NULL when it has no evidence — such docs
+    are not trainable mixture members); (3) deterministic hash-gated
+    stratified sampling on pred_lang with `rates`/`default_rate`;
+    (4) context-window chunking at (max_tokens, overlap)."""
+    from batukh_spark.operators.decontam import decontaminate
+
     ks = dedup.keep_set(docs, id_col, text_col)
-    kept = docs.join(ks.filter(F.col("keep")).select(id_col), id_col)
+    # localCheckpoint: `kept` is consumed by three subplans (quality,
+    # lang, gated join) — without it the embedded keep_set LSH chain
+    # re-executes per consumer (module docstring, scale note)
+    kept = (docs.join(ks.filter(F.col("keep")).select(id_col), id_col)
+            .localCheckpoint())
+    if benchmark is not None:
+        dec = decontaminate(kept, benchmark, n=decontam_n,
+                            id_col=id_col, text_col=text_col)
+        # re-checkpoint: the decontam gram join would otherwise re-run
+        # per downstream consumer of `kept`
+        kept = (kept.join(dec.filter(~F.col("contaminated"))
+                          .select(id_col), id_col)
+                .localCheckpoint())
     q = textstats.quality_score(kept, id_col, text_col) \
         .select(id_col, "quality")
     lang = textstats.lang_id(kept, id_col, text_col) \
@@ -58,9 +83,10 @@ def training_mix(docs: DataFrame, rates: dict[str, float],
     gated = (kept.join(q, id_col).join(lang, id_col)
              .filter((F.col("quality") >= quality_min)
                      & F.col("pred_lang").isNotNull()))
+    # `sampled` feeds both chunking and the final metadata join
     sampled = stratified_sample(gated, rates, default_rate,
                                 strata_col="pred_lang", id_col=id_col,
-                                salt=salt)
+                                salt=salt).localCheckpoint()
     chunks = chunk_documents(sampled, max_tokens, overlap,
                              id_col=id_col, text_col=text_col)
     return chunks.join(

@@ -1,0 +1,75 @@
+"""Benchmark decontamination — remove eval-set overlap from training data.
+
+A production pretraining pipeline must drop (or at least flag) corpus
+documents that share long n-gram overlap with evaluation benchmarks,
+or downstream eval numbers are meaningless (the 13-gram criterion used
+by the GPT-3 / PaLM data pipelines).  This is the corpus-vs-external-set
+referential-integrity check of a training pipeline — the reference's
+analogue validates its training corpus against an external label set
+(/root/reference/batukh/tensorflow/utils/data/dataloader.py:100-124).
+
+Scale shape (the benchmark is always tiny relative to the corpus):
+  - benchmark n-grams: distinct md5'd n-token grams, a few MB even for
+    a large eval suite -> BROADCAST;
+  - corpus side: scan-local n-gram fan-out (explode of distinct grams,
+    32-byte md5 each), broadcast-hash join against the benchmark set —
+    no shuffle of corpus bytes; only HIT rows (rare by construction)
+    reach the per-doc aggregation, whose shuffle is (doc_id, count);
+  - verdict join back to the doc list is a key join on doc_id.
+Everything is Catalyst expressions (split / transform / md5 / explode)
+— whole-stage codegen, DuckDB-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from batukh_spark.operators.text import tokens_col, word_shingles
+
+N_DECONTAM = 13     # n-gram length: GPT-3/PaLM-style 13-token overlap
+
+
+def benchmark_ngrams(benchmark: DataFrame, n: int = N_DECONTAM,
+                     text_col: str = "text") -> DataFrame:
+    """Distinct md5'd n-token grams of the benchmark texts —
+    (gram_hash).  Tiny: one 32-byte hash per distinct benchmark gram;
+    callers broadcast it."""
+    grams = F.array_distinct(word_shingles(tokens_col(text_col), n))
+    return (benchmark
+            .select(F.explode(grams).alias("g"))
+            .select(F.md5("g").alias("gram_hash"))
+            .distinct())
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = N_DECONTAM, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Flag corpus docs sharing any n-token gram with the benchmark.
+
+    Returns one row per input doc: (id_col, contaminated: bool,
+    n_hits: long) where n_hits counts the DISTINCT n-grams the doc
+    shares with the benchmark (0 for clean docs; docs shorter than n
+    tokens cannot be contaminated).  Callers gate on `contaminated`
+    (drop) or keep n_hits for audit; `mix.training_mix` wires this in
+    as a pre-sampling stage when given a benchmark table."""
+    if not (isinstance(n, int) and n >= 2):
+        raise ValueError(f"n must be an int >= 2, got {n!r}")
+    bgrams = benchmark_ngrams(benchmark, n, bench_text_col)
+    dgrams = (docs
+              .select(F.col(id_col),
+                      F.explode(F.array_distinct(
+                          word_shingles(tokens_col(text_col), n)))
+                      .alias("g"))
+              .select(F.col(id_col), F.md5("g").alias("gram_hash")))
+    hits = (dgrams.join(F.broadcast(bgrams), "gram_hash")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n_hits")))
+    return (docs.select(F.col(id_col))
+            .join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    (F.coalesce(F.col("__n_hits"), F.lit(0)) > 0)
+                    .alias("contaminated"),
+                    F.coalesce(F.col("__n_hits"), F.lit(0))
+                    .cast("long").alias("n_hits")))

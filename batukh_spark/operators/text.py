@@ -29,7 +29,8 @@ def word_shingles(tokens: Column, k: int = 3) -> Column:
 
 
 def chunk_documents(docs, max_tokens: int = 64, overlap: int = 8,
-                    id_col: str = "doc_id", text_col: str = "text"):
+                    id_col: str = "doc_id", text_col: str = "text",
+                    max_doc_tokens: int = 1_000_000):
     """Split documents into overlapping token-window chunks — the
     context-window preparation step of a training pipeline.  Returns
     one row per chunk: (id, chunk_idx, n_tokens, chunk_text), where
@@ -39,7 +40,19 @@ def chunk_documents(docs, max_tokens: int = 64, overlap: int = 8,
 
     Scan-local fan-out (inline over a per-row struct array): no
     shuffle, parallelism follows the scan, output rows ~ n_tokens /
-    stride per document."""
+    stride per document.  The work is LINEAR in document size — the
+    struct array holds each token's text exactly once per overlap
+    window (~(1 + overlap/stride)x the document in ONE row value
+    before inline emits it).  The tempting alternative — explode the
+    chunk-index range, slice the token array per output row — is
+    QUADRATIC: generate duplicates the parent token array into every
+    chunk row (measured ~40x slower on a 400k-token doc), so the
+    transient row value is the right trade.  What that value does
+    require is a bound: `max_doc_tokens` (validated per row,
+    executor-side LOUD error, never a silent drop/truncate) caps the
+    transient at ~2x max_doc_tokens bytes-of-text per row.  Route
+    pathological documents (default cap 1M tokens ≈ several MB) to a
+    dedicated splitter upstream instead of raising the cap."""
     from pyspark.sql import functions as F
     if not (isinstance(max_tokens, int) and max_tokens > 0):
         raise ValueError(f"max_tokens must be a positive int, "
@@ -51,16 +64,35 @@ def chunk_documents(docs, max_tokens: int = 64, overlap: int = 8,
             f"overlap == max_tokens would never advance and "
             f"overlap > max_tokens walks backwards — both silently "
             f"produce wrong chunks instead of training data")
+    if not (isinstance(max_doc_tokens, int)
+            and max_doc_tokens >= max_tokens):
+        raise ValueError(f"max_doc_tokens must be an int >= max_tokens, "
+                         f"got {max_doc_tokens!r}")
     stride = max_tokens - overlap
-    toks = tokens_col(text_col)
+    # materialize the token array ONCE per row in a child projection:
+    # referencing the raw split/filter expression from inside the
+    # (interpreted) transform body would re-tokenize the whole document
+    # per chunk — quadratic on giant docs (measured: minutes instead of
+    # seconds on a 400k-token row)
+    base = docs.select(F.col(id_col),
+                       tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = (F.when(n <= 0, F.lit(0))
                 .when(n <= max_tokens, F.lit(1))
                 .otherwise((F.lit(1) + F.ceil((n - max_tokens)
                                               / F.lit(float(stride))))
                            .cast("int")))
+    # giant-document guard: assert_true throws executor-side with the
+    # offending id in the message; chained via when(...isNull) so the
+    # assertion can't be pruned as an unused column
+    guard = F.assert_true(
+        n <= F.lit(max_doc_tokens),
+        F.concat(F.lit(f"chunk_documents: document exceeds "
+                       f"max_doc_tokens={max_doc_tokens}: {id_col}="),
+                 F.col(id_col).cast("string")))
     # sequence(0, -1) would generate a DESCENDING range — guard empty
-    seq = F.when(n_chunks > 0,
+    seq = F.when(guard.isNull() & (n_chunks > 0),
                  F.sequence(F.lit(0), n_chunks - 1)) \
         .otherwise(F.array().cast("array<int>"))
     arr = F.transform(seq, lambda i: F.struct(
@@ -69,7 +101,7 @@ def chunk_documents(docs, max_tokens: int = 64, overlap: int = 8,
         .alias("n_tokens"),
         F.concat_ws(" ", F.slice(toks, i * stride + 1, max_tokens))
         .alias("chunk_text")))
-    return docs.select(F.col(id_col), F.inline(arr))
+    return base.select(F.col(id_col), F.inline(arr))
 
 
 # PII/cleanup regexes — shared literally with the SQL oracle (Java
@@ -88,20 +120,24 @@ def redact_pii(docs, id_col: str = "doc_id", text_col: str = "text"):
     Returns (id, clean_text, n_urls, n_emails, n_ips, n_ctrl).
 
     Order matters: URLs first (an email-shaped substring inside a URL
-    is part of the URL), then emails, then bare IPv4s.  Counts are
-    taken on the ORIGINAL text.  Everything is a codegen'd
-    regexp_replace / regexp_extract_all chain — scan-local, zero
-    shuffle, and the regex subset is chosen so DuckDB's RE2 computes
-    the identical result (no lookaround / backreferences)."""
+    is part of the URL), then emails, then bare IPv4s.  Each count is
+    taken on the text AFTER the previous replacements, so the counts
+    agree with what the redaction actually replaced — an email inside
+    a URL is redacted as part of the <URL> and is NOT counted in
+    n_emails (summing the counts downstream matches the placeholders
+    in clean_text).  Everything is a codegen'd regexp_replace /
+    regexp_extract_all chain — scan-local, zero shuffle, and the regex
+    subset is chosen so DuckDB's RE2 computes the identical result (no
+    lookaround / backreferences)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    after_url = F.regexp_replace(c, RE_URL, "<URL>")
+    after_email = F.regexp_replace(after_url, RE_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, RE_IPV4, "<IP>")
     n_urls = F.size(F.regexp_extract_all(c, F.lit(RE_URL), 0))
-    n_emails = F.size(F.regexp_extract_all(c, F.lit(RE_EMAIL), 0))
-    n_ips = F.size(F.regexp_extract_all(c, F.lit(RE_IPV4), 0))
-    n_ctrl = F.size(F.regexp_extract_all(c, F.lit(RE_CTRL), 0))
-    clean = F.regexp_replace(c, RE_URL, "<URL>")
-    clean = F.regexp_replace(clean, RE_EMAIL, "<EMAIL>")
-    clean = F.regexp_replace(clean, RE_IPV4, "<IP>")
-    clean = F.regexp_replace(clean, RE_CTRL, "")
+    n_emails = F.size(F.regexp_extract_all(after_url, F.lit(RE_EMAIL), 0))
+    n_ips = F.size(F.regexp_extract_all(after_email, F.lit(RE_IPV4), 0))
+    n_ctrl = F.size(F.regexp_extract_all(after_ip, F.lit(RE_CTRL), 0))
+    clean = F.regexp_replace(after_ip, RE_CTRL, "")
     clean = F.regexp_replace(clean, r"[ \t]{2,}", " ")
     return docs.select(F.col(id_col), clean.alias("clean_text"),
                        n_urls.alias("n_urls"),
@@ -167,11 +203,16 @@ def pack_sequences(chunks, seq_len: int = 256,
         off += r["__tot"]
     odf = spark.createDataFrame(offsets or [(0, 0)],
                                 "__opart int, __offset long")
-    joined = local.join(F.broadcast(odf),
-                        local["__part"] == odf["__opart"])
-    gstart = F.col("__offset") + F.col("__local_start")
-    first = F.floor(gstart / seq_len)
-    last = F.floor((gstart + F.col("__n") - 1) / seq_len)
+    joined = (local.join(F.broadcast(odf),
+                         local["__part"] == odf["__opart"])
+              .withColumn("__g", F.col("__offset")
+                          + F.col("__local_start")))
+    gstart = F.col("__g")
+    # integer `div`, NOT `/`: dividing longs with `/` goes through
+    # double, which silently mis-assigns boundaries once the total
+    # stream exceeds 2^53 tokens — inside the 10^12-doc design scale
+    first = F.expr(f"__g div {int(seq_len)}")
+    last = F.expr(f"(__g + __n - 1) div {int(seq_len)}")
     pieces = F.transform(F.sequence(first, last), lambda s: F.struct(
         s.cast("long").alias("seq_id"),
         (F.greatest(gstart, s * seq_len) - gstart).cast("long")

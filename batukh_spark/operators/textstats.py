@@ -274,6 +274,141 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
         F.array_min(mins).alias("fp_min"))
 
 
+def _winnow_fps_pos(docs: DataFrame, id_col: str, text_col: str,
+                    k: int, w: int) -> DataFrame:
+    """`_winnow_fps` plus WHERE each fingerprint lives: distinct
+    (id, fp, pos) with pos = the 1-based char position of the selected
+    gram (ties inside a window break to the smallest position, via a
+    min over struct(gram, pos)).  Same codegen shape as _winnow_fps;
+    the extra column is 4 bytes on the same (id-keyed) shuffle.  This
+    is what lets the passage-level operators map a shared fingerprint
+    back to a char span instead of stopping at a doc-level verdict."""
+    from pyspark.sql import Window
+    c = F.col(text_col)
+    base = docs.select(F.col(id_col), c.alias("__t"),
+                       (F.length(c) - (k - 1)).alias("__n")) \
+        .filter(F.col("__n") >= 1)
+    grams = base.select(
+        F.col(id_col), F.col("__n"),
+        F.posexplode(F.sequence(F.lit(1), F.col("__n")))
+        .alias("__p", "__i"),
+        F.col("__t")).select(
+        F.col(id_col), F.col("__n"), F.col("__i"),
+        F.md5(F.expr(f"substring(__t, __i, {k})")).alias("__g"))
+    win = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, w - 1)
+    mins = grams.select(
+        F.col(id_col), F.col("__n"), F.col("__i"), F.col("__g"),
+        F.min(F.struct(F.col("__g"), F.col("__i"))).over(win)
+        .alias("__m"))
+    return (mins
+            .filter((F.col("__n") < w)
+                    | (F.col("__i") <= F.col("__n") - (w - 1)))
+            .select(F.col(id_col),
+                    F.when(F.col("__n") < w, F.col("__g"))
+                    .otherwise(F.col("__m.__g")).alias("fp"),
+                    F.when(F.col("__n") < w, F.col("__i"))
+                    .otherwise(F.col("__m.__i")).alias("pos"))
+            .distinct())
+
+
+def duplicated_passage_spans(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", k: int = 8,
+                             w: int = 4, min_df: int = 2,
+                             max_df: int = 5) -> DataFrame:
+    """Char spans of passages SHARED across documents — the
+    remediation step after `fingerprint_candidate_pairs`: instead of a
+    doc-level verdict, emit exactly WHICH text is duplicated.
+
+    Pipeline: positioned winnowing fingerprints (`_winnow_fps_pos`) ->
+    keep fingerprints whose document frequency is in [min_df, max_df]
+    (shared, but not ubiquitous boilerplate — same df-cap rationale as
+    fingerprint_candidate_pairs) -> per doc, each hit covers chars
+    [pos, pos+k) -> merge overlapping/adjacent hits into maximal
+    spans.  Returns (id, span_start, span_end, n_fps): 1-based
+    [span_start, span_end) such that substring(text, span_start,
+    span_end - span_start) is the duplicated passage; n_fps = merged
+    fingerprint count (evidence strength).  With k > w (defaults 8 >
+    4) consecutive selected grams of one shared passage always
+    overlap, so a contiguous shared passage merges into ONE span.
+
+    Scale: the only new shuffle beyond the fingerprint table is the
+    per-doc window for merging — keyed on id, carrying (id, 32B, int)
+    rows; the df filter happens BEFORE any join back, so only shared
+    fingerprints reach the merge.  Reference analogue: span
+    derive+rank over per-page predictions (K7,
+    /root/reference/batukh/torch/segmenter.py:541-554)."""
+    from pyspark.sql import Window
+    fps = _winnow_fps_pos(docs, id_col, text_col, k, w)
+    sharing = (fps.select(F.col(id_col), "fp").distinct()
+               .groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .filter((F.col("__df") >= min_df)
+                       & (F.col("__df") <= max_df))
+               .select("fp"))
+    hits = fps.join(sharing, "fp")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    newg = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1) \
+        .otherwise(0)
+    grp = (hits.withColumn("__new", newg)
+           .withColumn("__grp", F.sum("__new").over(
+               w_doc.rowsBetween(Window.unboundedPreceding, 0))))
+    return (grp.groupBy(F.col(id_col), F.col("__grp"))
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + k).cast("long").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_fps"))
+            .drop("__grp"))
+
+
+def cut_passages(docs: DataFrame, spans: DataFrame | None = None,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 8, w: int = 4, min_df: int = 2,
+                 max_df: int = 5) -> DataFrame:
+    """Excise duplicated passages: remove every
+    `duplicated_passage_spans` span from each document's text.
+    Returns (id, clean_text, n_cut_chars); docs with no shared
+    passages pass through unchanged.  `spans` defaults to
+    duplicated_passage_spans(docs, ...) but accepts a precomputed /
+    reviewed span table (same columns).
+
+    The splice is a per-doc fold over the doc's (sorted,
+    non-overlapping) spans, concatenating the KEPT segments between
+    them — an interpreted higher-order aggregate, but over span
+    structs only (rare by the df gate), never a per-char loop; the
+    text joins the span list once by id (one corpus-keyed shuffle,
+    the same price keep_set-style remediation pays)."""
+    if spans is None:
+        spans = duplicated_passage_spans(docs, id_col, text_col,
+                                         k, w, min_df, max_df)
+    sp = (spans.groupBy(id_col)
+          .agg(F.array_sort(
+              F.collect_list(F.struct("span_start", "span_end")))
+              .alias("__sp")))
+    joined = docs.select(F.col(id_col), F.col(text_col)) \
+        .join(sp, id_col, "left")
+    c = F.col(text_col)
+    folded = F.aggregate(
+        F.col("__sp"),
+        F.struct(F.lit(1).cast("long").alias("p"),
+                 F.lit("").alias("t")),
+        lambda acc, s: F.struct(
+            s["span_end"].alias("p"),
+            F.concat(acc["t"],
+                     F.substring(c, acc["p"].cast("int"),
+                                 (s["span_start"] - acc["p"])
+                                 .cast("int"))).alias("t")),
+        lambda acc: F.concat(
+            acc["t"],
+            F.substring(c, acc["p"].cast("int"),
+                        (F.length(c) - acc["p"] + 1).cast("int"))))
+    clean = F.when(F.col("__sp").isNull(), c).otherwise(folded)
+    return joined.select(
+        F.col(id_col), clean.alias("clean_text"),
+        (F.length(c) - F.length(clean)).cast("long")
+        .alias("n_cut_chars"))
+
+
 def fingerprint_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                                 text_col: str = "text", k: int = 8,
                                 w: int = 4,

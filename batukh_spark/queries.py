@@ -1527,33 +1527,224 @@ with aug as (
          else text end as text
   from documents
 )
+, r1 as (
+  select doc_id, text as t0,
+         regexp_replace(text, '{RE_URL}', '<URL>', 'g') as t1
+  from aug
+), r2 as (
+  select *, regexp_replace(t1, '{RE_EMAIL}', '<EMAIL>', 'g') as t2
+  from r1
+), r3 as (
+  select *, regexp_replace(t2, '{RE_IPV4}', '<IP>', 'g') as t3
+  from r2
+)
 select doc_id,
-       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         regexp_replace(text, '{RE_URL}', '<URL>', 'g'),
-         '{RE_EMAIL}', '<EMAIL>', 'g'),
-         '{RE_IPV4}', '<IP>', 'g'),
-         '{RE_CTRL}', '', 'g'),
+       regexp_replace(regexp_replace(t3, '{RE_CTRL}', '', 'g'),
          '[ \\t]{{2,}}', ' ', 'g') as clean_text,
-       len(regexp_extract_all(text, '{RE_URL}')) as n_urls,
-       len(regexp_extract_all(text, '{RE_EMAIL}')) as n_emails,
-       len(regexp_extract_all(text, '{RE_IPV4}')) as n_ips,
-       len(regexp_extract_all(text, '{RE_CTRL}')) as n_ctrl
-from aug
+       len(regexp_extract_all(t0, '{RE_URL}')) as n_urls,
+       len(regexp_extract_all(t1, '{RE_EMAIL}')) as n_emails,
+       len(regexp_extract_all(t2, '{RE_IPV4}')) as n_ips,
+       len(regexp_extract_all(t3, '{RE_CTRL}')) as n_ctrl
+from r3
 """
 
 
 PII_REDACT_SQL = _pii_redact_sql()
 
 
+def decontaminate_q(spark, sf):
+    """Benchmark decontamination over a corpus with PLANTED overlap:
+    the benchmark is the documents with doc_id % 37 = 0 (verbatim),
+    and every doc with doc_id % 11 = 5 additionally gets the first
+    13 tokens of doc 0 (a benchmark member) appended — so the oracle
+    must flag (a) the benchmark docs themselves (full-text overlap)
+    and (b) the planted docs (exactly the planted 13-gram), while
+    clean docs stay n_hits = 0."""
+    from batukh_spark.operators import decontam
+    from batukh_spark.operators.text import tokens_col
+
+    docs = t_spread(spark, sf, "documents")
+    plant = docs.filter("doc_id = 0").select(
+        F.concat_ws(" ", F.slice(tokens_col("text"), 1, 13))
+        .alias("__plant"))
+    aug = (docs.crossJoin(F.broadcast(plant))
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 11 == 5,
+                          F.concat(F.col("text"), F.lit(" "),
+                                   F.col("__plant")))
+                   .otherwise(F.col("text")).alias("text")))
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    return decontam.decontaminate(aug, bench)
+
+
+def _grams13_sql() -> str:
+    """Distinct 13-token grams of a `tokens` list column (decontam's
+    gram family, shared by DECONTAMINATE_SQL and TRAINING_MIX_SQL)."""
+    g13 = " || ' ' || ".join(
+        ["tokens[i]"] + [f"tokens[i+{j}]" for j in range(1, 13)])
+    return (f"case when len(tokens) >= 13 then "
+            f"list_distinct(list_transform("
+            f"generate_series(1, len(tokens) - 12), i -> {g13})) "
+            f"else [] end")
+
+
+def _decontam_sql() -> str:
+    grams = _grams13_sql()
+    return rf"""
+with plant as (
+  select array_to_string(
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')[1:13], ' ') as p
+  from documents where doc_id = 0
+), aug as (
+  select doc_id,
+         case when doc_id % 11 = 5
+              then text || ' ' || (select p from plant)
+              else text end as text
+  from documents
+), toks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from aug
+), gr as (
+  select doc_id, {grams} as grams from toks
+), btoks as (
+  select list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from documents where doc_id % 37 = 0
+), bgr as (
+  select distinct g
+  from (select unnest({grams}) as g from btoks)
+), dg as (
+  select doc_id, unnest(grams) as g from gr
+), hits as (
+  select doc_id, count(*) as n_hits
+  from dg join bgr using (g) group by doc_id
+)
+select d.doc_id,
+       coalesce(h.n_hits, 0) > 0 as contaminated,
+       coalesce(h.n_hits, 0)::bigint as n_hits
+from documents d left join hits h using (doc_id)
+"""
+
+
+DECONTAMINATE_SQL = _decontam_sql()
+
+
+def duplicated_passages_q(spark, sf):
+    """Passage-level dedup remediation: char spans of text shared
+    across documents (winnowing fingerprints with positions ->
+    df-gated shared set -> merged per-doc spans)."""
+    from batukh_spark.operators.textstats import duplicated_passage_spans
+    docs = t_spread(spark, sf, "documents")
+    return duplicated_passage_spans(docs).select(
+        "doc_id", "span_start", "span_end",
+        F.col("n_fps").cast("long").alias("n_fps"))
+
+
+def passage_excision_q(spark, sf):
+    """Excise the shared-passage spans: every duplicated passage is
+    cut from the doc text; untouched docs pass through."""
+    from batukh_spark.operators.textstats import cut_passages
+    docs = t_spread(spark, sf, "documents")
+    return cut_passages(docs)
+
+
+# winnowing-with-positions span pipeline (shared by the spans query and
+# the excision query): k=8 char grams, w=4 windows, shared df in [2,5]
+_PASSAGE_SPANS_CTE = r"""
+with gl as (
+  select doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+                        i -> md5(substring(text, i, 8))) as grams
+  from documents
+), fpl as (
+  select doc_id,
+    case when len(grams) >= 4 then
+      list_transform(generate_series(1, len(grams) - 3),
+        j -> {'fp': list_min(grams[j:j+3]),
+              'pos': j - 1 + list_position(grams[j:j+3],
+                                           list_min(grams[j:j+3]))})
+    when len(grams) >= 1 then
+      list_transform(generate_series(1, len(grams)),
+        i -> {'fp': grams[i], 'pos': i})
+    else [] end as fps
+  from gl
+), hit0 as (
+  select distinct doc_id, s.fp as fp, s.pos as pos
+  from fpl, unnest(fps) as u(s)
+), sharing as (
+  select fp from (select distinct doc_id, fp from hit0)
+  group by fp having count(*) between 2 and 5
+), hits as (
+  select h.doc_id, h.pos from hit0 h join sharing using (fp)
+), flag as (
+  select doc_id, pos,
+    case when pos > coalesce(max(pos + 8) over (
+           partition by doc_id order by pos
+           rows between unbounded preceding and 1 preceding), -1)
+         then 1 else 0 end as newg
+  from hits
+), grp as (
+  select doc_id, pos, sum(newg) over (
+    partition by doc_id order by pos
+    rows between unbounded preceding and current row) as g
+  from flag
+), spans as (
+  select doc_id, min(pos)::bigint as span_start,
+         (max(pos) + 8)::bigint as span_end, count(*) as n_fps
+  from grp group by doc_id, g
+)
+"""
+
+DUPLICATED_PASSAGES_SQL = _PASSAGE_SPANS_CTE + """
+select doc_id, span_start, span_end, n_fps from spans
+"""
+
+PASSAGE_EXCISION_SQL = _PASSAGE_SPANS_CTE + r"""
+, wsp as (
+  select doc_id, span_start, span_end,
+         lag(span_end, 1, 1) over (partition by doc_id
+                                   order by span_start) as prev_end
+  from spans
+), agg as (
+  select s.doc_id,
+         string_agg(substring(d.text, s.prev_end::int,
+                              (s.span_start - s.prev_end)::int),
+                    '' order by s.span_start) as mid,
+         max(s.span_end) as last_end
+  from wsp s join documents d using (doc_id)
+  group by s.doc_id
+), res as (
+  select d.doc_id,
+         case when a.doc_id is null then d.text
+              else coalesce(a.mid, '') ||
+                   substring(d.text, a.last_end::int,
+                             greatest(length(d.text) - a.last_end + 1,
+                                      0)::int)
+         end as clean_text,
+         d.text as orig
+  from documents d left join agg a using (doc_id)
+)
+select doc_id, clean_text,
+       (length(orig) - length(clean_text))::bigint as n_cut_chars
+from res
+"""
+
+
 def training_mix_q(spark, sf):
     """CAPSTONE — the composed training-mix pipeline as ONE chained
     DataFrame job: kernel HTML extraction over templated payloads ->
     keep_set dedup (with planted exact twins, as corpus_keep_set) ->
-    quality >= 0.45 & language gate -> deterministic stratified
-    sampling (en 0.5, default 0.25) -> 64/8 context-window chunking.
-    Every stage is an already-verified operator; the DuckDB oracle
-    composes their CTEs, with the extraction stage's closed form
-    (EXTRACT_TRANSCRIPTS_SQL html turn) standing in for the kernel."""
+    benchmark decontamination (13-gram overlap vs an eval slice of the
+    corpus, doc_id % 40 = 7 — those docs are fully contaminated and
+    must drop) -> quality >= 0.45 & language gate -> deterministic
+    stratified sampling (en 0.5, default 0.25) -> 64/8 context-window
+    chunking.  Every stage is an already-verified operator; the DuckDB
+    oracle composes their CTEs, with the extraction stage's closed
+    form (EXTRACT_TRANSCRIPTS_SQL html turn) standing in for the
+    kernel."""
     from batukh_spark import kernels
     from batukh_spark.mix import training_mix
     from pyspark import StorageLevel
@@ -1578,7 +1769,13 @@ def training_mix_q(spark, sf):
     # extraction so the kernel runs once, not once per downstream branch
     corpus = extracted.unionByName(twins) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    mixed = training_mix(corpus, rates={"en": 0.5}, default_rate=0.25)
+    # eval benchmark = a slice of the corpus itself (doc_id % 40 = 7,
+    # originals only) -> those docs are full-overlap contaminated and
+    # must be dropped by the decontamination stage before sampling
+    bench = corpus.filter((F.col("doc_id") % 40 == 7)
+                          & (F.col("doc_id") < 1000000)).select("text")
+    mixed = training_mix(corpus, rates={"en": 0.5}, default_rate=0.25,
+                         benchmark=bench)
     return mixed.select("doc_id", "chunk_idx", "n_tokens", "chunk_text",
                         "pred_lang", "quality")
 # (K3/K5 html tokenize+classify+assemble, K6/K9 XY-cut + reading order,
@@ -1919,10 +2116,28 @@ TRAINING_MIX_SQL = (
 ), kept as (
   select d.doc_id, d.text from docs d
   join verdict v using (doc_id) where v.reason = 'unique'
-), {_quality_cte("kept")}, {_lang_cte("kept")}
+), btoks as (
+  select list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') as tokens
+  from docs where doc_id % 40 = 7 and doc_id < 1000000
+), bgr as (
+  select distinct g from (select unnest({_grams13_sql()}) as g from btoks)
+), ktoks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') as tokens
+  from kept
+), kgr as (
+  select doc_id, {_grams13_sql()} as grams from ktoks
+), khits as (
+  select distinct doc_id
+  from (select doc_id, unnest(grams) as g from kgr) join bgr using (g)
+), clean as (
+  select * from kept where doc_id not in (select doc_id from khits)
+), {_quality_cte("clean")}, {_lang_cte("clean")}
 , gated as (
   select k.doc_id, k.text, q.quality, l.pred_lang
-  from kept k join qual q using (doc_id) join lpred l using (doc_id)
+  from clean k join qual q using (doc_id) join lpred l using (doc_id)
   where q.quality >= 0.45 and l.pred_lang is not null
 ), sampled as (
   select * from gated
@@ -1981,6 +2196,9 @@ QUERIES = {
                              INCREMENTAL_KEEP_SET_SQL),
     "training_mix": (training_mix_q, TRAINING_MIX_SQL),
     "pii_redact": (pii_redact_q, PII_REDACT_SQL),
+    "decontaminate": (decontaminate_q, DECONTAMINATE_SQL),
+    "duplicated_passages": (duplicated_passages_q, DUPLICATED_PASSAGES_SQL),
+    "passage_excision": (passage_excision_q, PASSAGE_EXCISION_SQL),
     "media_features": (media_features_q, MEDIA_SQL),
     "video_frame_sample": (video_frame_sample_q, VIDEO_FRAME_SQL),
     # flagship extraction kernels over SQL-templated payloads

@@ -104,8 +104,15 @@ def streaming_store_dedup(spark: SparkSession, source_dir: str,
     rescanning it.
 
     Stateless (no watermark needed): the static side is the store's
-    (text_hash) table, re-read per micro-batch by Spark's stream-static
-    join semantics, so a store updated between batches is picked up.
+    (text_hash) table.  The store SNAPSHOT IS FIXED at stream
+    construction — `spark.read.parquet` resolves the file listing when
+    the DataFrame is created, so an in-place overwrite of the store
+    while the query runs is at best invisible and at worst a
+    FileNotFoundException when the listed files disappear.  To pick up
+    a refreshed store, restart the query (cheap: the stream checkpoint
+    carries the offsets) or drive the join inside `foreachBatch`,
+    re-reading the store path per batch.  Never overwrite the store
+    in place under a running query.
     Output = input rows + (text_hash, is_dup_of_history).  Compose with
     `streaming_exact_dedup` upstream to also dedup WITHIN the stream.
 
@@ -126,6 +133,105 @@ def streaming_store_dedup(spark: SparkSession, source_dir: str,
             .withColumn("is_dup_of_history",
                         F.coalesce(F.col("__hit"), F.lit(False)))
             .drop("__hit"))
+
+
+def streaming_store_keep_set(spark: SparkSession, source_dir: str,
+                             store_dir: str, min_sig_agree: int = 8):
+    """Full streaming twin of `operators.dedup.incremental_keep_set`:
+    every arriving row gets the same (keep, reason) verdict the batch
+    operator would assign against the persisted signature store —
+    exact_dup (canonical-text md5 in the store), near_dup (shares a
+    minhash band bucket with a stored doc AND >= min_sig_agree of the
+    16 signature positions agree), else unique.  Precedence
+    exact_dup > near_dup, identical to the batch operator.
+
+    Shape constraints of streaming drive the plan:
+      - the row's 16-slot minhash signature is computed SCAN-LOCAL as
+        array_min over transformed shingles (the batch operator's
+        explode->groupBy shape is a streaming aggregation, which
+        append-mode stream-static joins disallow).  Higher-order-
+        function lambdas are interpreted rather than codegen'd — the
+        documented cost of the streaming twin, paid per arriving row,
+        not per corpus;
+      - band matching is ONE stream-static left join per band (band
+        count is a 4-way literal fan-out, not data-dependent): the
+        static side is the store's bands joined to its sigs and
+        grouped into (band_id, band_hash) -> list<sig> buckets, so a
+        stream row stays ONE row through every join (no stream-side
+        distinct / aggregation needed);
+      - signature verification is an `exists` over the collided
+        buckets' signature lists — candidates only, like the batch.
+
+    Caveats: bucket signature lists are unbounded for pathological hot
+    buckets (the batch path's hot-bucket guard applies at store-build
+    time); the store snapshot is FIXED at stream construction (see
+    `streaming_store_dedup`).  Verdicts are pinned test-equal to
+    `incremental_keep_set` on the same arriving files.
+
+    Returns an unstarted streaming DataFrame: input rows +
+    (text_hash, keep, reason)."""
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.dedup import (N_BANDS, N_HASHES,
+                                              canonical_text)
+    from batukh_spark.operators.text import tokens_col, word_shingles
+
+    exact_store = (spark.read.parquet(f"{store_dir}/exact")
+                   .select("text_hash")
+                   .withColumn("__exact", F.lit(True)))
+    sig_store = (spark.read.parquet(f"{store_dir}/sigs")
+                 .select(F.col("doc_id").alias("__sid"),
+                         F.col("sig").alias("__ssig")))
+    band_store = spark.read.parquet(f"{store_dir}/bands")
+    buckets = (band_store
+               .join(sig_store, band_store["doc_id"] == F.col("__sid"))
+               .groupBy("band_id", "band_hash")
+               .agg(F.collect_list("__ssig").alias("__cands")))
+
+    stream = (spark.readStream
+              .schema(TRANSCRIPTS_SCHEMA)
+              .parquet(source_dir))
+    df = (stream
+          .withColumn("text_hash",
+                      F.md5(canonical_text(F.col("text"))))
+          .withColumn("__sh", word_shingles(tokens_col("text"))))
+    # identical hash family to minhash_signature: min md5("s:" || gram)
+    # (one-arg lambda per slot: a two-arg lambda would make transform
+    # pass the ELEMENT INDEX as the second argument)
+    def _slot_min(s: int):
+        prefix = f"{s}:"
+        return F.array_min(F.transform(
+            F.col("__sh"), lambda g: F.md5(F.concat(F.lit(prefix), g))))
+
+    df = df.withColumn("__sig",
+                       F.array(*[_slot_min(s) for s in range(N_HASHES)]))
+    rows_per_band = N_HASHES // N_BANDS
+    for b in range(N_BANDS):
+        parts = [F.col("__sig").getItem(b * rows_per_band + r)
+                 for r in range(rows_per_band)]
+        df = df.withColumn(f"__bh{b}", F.md5(F.concat_ws("|", *parts)))
+        bk = (buckets.filter(F.col("band_id") == b)
+              .select(F.col("band_hash").alias(f"__bh{b}"),
+                      F.col("__cands").alias(f"__cands{b}")))
+        df = df.join(bk, f"__bh{b}", "left")
+    empty = F.array().cast("array<array<string>>")
+    all_cands = F.concat(*[F.coalesce(F.col(f"__cands{b}"), empty)
+                           for b in range(N_BANDS)])
+    agree = lambda c: F.size(F.filter(          # noqa: E731
+        F.zip_with(F.col("__sig"), c, lambda x, y: x == y),
+        lambda m: m))
+    near = ((F.size(F.col("__sh")) > 0)
+            & F.exists(all_cands, lambda c: agree(c) >= min_sig_agree))
+    df = df.join(exact_store, "text_hash", "left")
+    reason = (F.when(F.col("__exact"), "exact_dup")
+              .when(near, "near_dup")
+              .otherwise("unique"))
+    drop = (["__sh", "__sig", "__exact"]
+            + [f"__bh{b}" for b in range(N_BANDS)]
+            + [f"__cands{b}" for b in range(N_BANDS)])
+    return (df.withColumn("reason", reason)
+            .withColumn("keep", F.col("reason") == "unique")
+            .drop(*drop))
 
 
 # output schema of the stateful conversation assembler

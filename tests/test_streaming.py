@@ -128,3 +128,52 @@ def test_streaming_store_dedup_flags_history(spark, dirs, tmp_path):
     for cid, dup in agg.items():
         idx = int(cid.split("-")[-1])
         assert dup == (idx < 10), (cid, dup)
+
+
+def test_streaming_store_keep_set_matches_batch(spark, dirs, tmp_path):
+    """The full streaming twin must assign EXACTLY the verdicts the
+    batch `incremental_keep_set` assigns to the same arriving rows
+    against the same signature store: exact_dup for canonical-text
+    hash hits, near_dup for band-colliding + signature-verified
+    neighbors, unique otherwise."""
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.dedup import (build_signature_store,
+                                              incremental_keep_set)
+    from batukh_spark.streaming.incremental import streaming_store_keep_set
+
+    hist = make_transcripts(spark, 10, partitions=2) \
+        .selectExpr("conv_id || '#' || turn_idx as doc_id", "text")
+    store = str(tmp_path / "store")
+    build_signature_store(hist, store)
+
+    # arriving rows: re-arrivals (exact), one-token perturbations of
+    # history (near candidates), and brand-new conversations (unique)
+    seen = make_transcripts(spark, 4, partitions=1)
+    perturbed = (make_transcripts(spark, 8, partitions=1)
+                 .filter("cast(substr(conv_id, 6) as int) between 4 and 7")
+                 .withColumn("text", F.concat(F.col("text"),
+                                              F.lit(" zzzperturb"))))
+    new = make_transcripts(spark, 16, partitions=1) \
+        .filter("cast(substr(conv_id, 6) as int) >= 10")
+    arriving = seen.unionByName(perturbed).unionByName(new)
+    arriving.write.parquet(dirs["src"])
+
+    q = (streaming_store_keep_set(spark, dirs["src"], store)
+         .writeStream.format("memory").queryName("sks")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.k: (r.keep, r.reason) for r in spark.sql(
+        "select conv_id || '#' || turn_idx as k, keep, reason "
+        "from sks").collect()}
+
+    batch = incremental_keep_set(
+        spark,
+        spark.read.parquet(dirs["src"])
+        .selectExpr("conv_id || '#' || turn_idx as doc_id", "text"),
+        store)
+    want = {r.doc_id: (r.keep, r.reason) for r in batch.collect()}
+    assert got == want
+    reasons = {v[1] for v in want.values()}
+    # the fixture must actually exercise every verdict class
+    assert reasons == {"exact_dup", "near_dup", "unique"}, reasons

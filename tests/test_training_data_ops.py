@@ -328,3 +328,146 @@ def test_ivf_topk_missing_query_raises(spark, tmp_path):
     similarity.train_ivf(emb, idx, dim=8)
     with pytest.raises(ValueError, match="not found"):
         similarity.ivf_topk(spark, idx, query_id=999, k=3)
+
+
+def test_redact_pii_counts_match_replacements(spark):
+    """Counts are taken on the progressively-redacted text, in the same
+    order the replacement chain runs: an email-shaped substring inside
+    a URL is swallowed by the <URL> redaction and must NOT appear in
+    n_emails, and an IP-shaped substring inside a URL must not appear
+    in n_ips — the counts sum to the placeholders actually emitted."""
+    from batukh_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "see https://user@host.com/x?ip=10.0.0.1 and a@b.io"),
+         (2, "plain 10.0.0.1 and c@d.org no url")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    r1 = rows[1]
+    # the URL swallowed both the embedded email and the embedded IP
+    assert (r1.n_urls, r1.n_emails, r1.n_ips) == (1, 1, 0)
+    assert r1.clean_text == "see <URL> and <EMAIL>"
+    r2 = rows[2]
+    assert (r2.n_urls, r2.n_emails, r2.n_ips) == (0, 1, 1)
+    # invariant: per-kind counts equal placeholder occurrences
+    for r in rows.values():
+        assert r.n_urls == r.clean_text.count("<URL>")
+        assert r.n_emails == r.clean_text.count("<EMAIL>")
+        assert r.n_ips == r.clean_text.count("<IP>")
+
+
+def test_chunk_documents_giant_doc_bounded_rows(spark):
+    """A multi-MB single document must chunk in LINEAR time (the
+    inline shape; an explode-per-chunk alternative measured ~40x
+    slower by duplicating the token array per chunk row), every output
+    row's chunk_text bounded by max_tokens tokens, and the chunk set
+    tiling the token stream exactly."""
+    n_tok = 400_000            # ~2.7 MB of text in ONE row
+    text = " ".join(f"w{i}" for i in range(n_tok))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(docs, max_tokens=64, overlap=8)
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.max(F.size(F.split("chunk_text", " "))).alias("max_toks"),
+        F.sum("n_tokens").alias("tok_sum"),
+        F.min("chunk_idx").alias("i0"),
+        F.max("chunk_idx").alias("i1")).collect()[0]
+    stride = 64 - 8
+    import math
+    expect_chunks = 1 + math.ceil((n_tok - 64) / stride)
+    assert stats.n == expect_chunks
+    assert stats.max_toks <= 64
+    assert (stats.i0, stats.i1) == (0, expect_chunks - 1)
+    # chunk i covers [i*stride, i*stride+max_tokens) -> total tokens
+    expect_sum = sum(min(64, n_tok - i * stride)
+                     for i in range(expect_chunks))
+    assert stats.tok_sum == expect_sum
+
+
+def test_chunk_documents_rejects_over_cap_doc(spark):
+    """Documents above max_doc_tokens fail LOUDLY (executor-side
+    assert naming the doc id), never silently truncate or drop."""
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(2000)))],
+        "doc_id long, text string")
+    with pytest.raises(Exception, match="max_doc_tokens"):
+        chunk_documents(docs, max_tokens=64, overlap=8,
+                        max_doc_tokens=1000).collect()
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=64, overlap=8, max_doc_tokens=8)
+    # at or under the cap: unchanged behavior
+    assert chunk_documents(docs, max_tokens=64, overlap=8,
+                           max_doc_tokens=2000).count() == 36
+
+
+# ---------------------------------------------------------------------------
+# passage-level remediation + decontamination
+
+def test_duplicated_passage_spans_exact_plant(spark):
+    """Planted shared passage: both holders get ONE merged span whose
+    substring is the shared region; the unique doc gets none."""
+    from batukh_spark.operators.textstats import (cut_passages,
+                                                  duplicated_passage_spans)
+    shared = "SHAREDPASSAGEXYZ0123456789abcdefghij"
+    rows = [(1, "alpha head " + shared + " tail one"),
+            (2, "beta start .. " + shared + " closing text"),
+            (3, "unique document body with nothing repeated at all")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicated_passage_spans(docs).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    text = dict((d, t) for d, t in rows)
+    for d, ss in by_doc.items():
+        assert len(ss) == 1                      # merged to ONE span
+        s = ss[0]
+        got = text[d][s.span_start - 1:s.span_end - 1]
+        # the span is inside the planted passage's char range (k-gram
+        # boundaries trim up to k-1 chars of context on each side)
+        assert got in (" " + shared)             # substring containment
+        assert shared[:-1] in got                # covers the passage body
+    # excision removes exactly the spans
+    cut = {r.doc_id: r for r in cut_passages(docs).collect()}
+    assert cut[3].n_cut_chars == 0
+    assert cut[3].clean_text == rows[2][1]
+    for d in (1, 2):
+        assert shared[:-1] not in cut[d].clean_text
+        assert cut[d].n_cut_chars == (by_doc[d][0].span_end
+                                      - by_doc[d][0].span_start)
+
+
+def test_cut_passages_accepts_reviewed_spans(spark):
+    """cut_passages splices arbitrary precomputed span tables —
+    multiple non-adjacent spans per doc, offsets preserved."""
+    from batukh_spark.operators.textstats import cut_passages
+    docs = spark.createDataFrame(
+        [(1, "0123456789abcdefghij")], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 3, 6), (1, 11, 15)],
+        "doc_id long, span_start long, span_end long")
+    r = cut_passages(docs, spans).collect()[0]
+    # 1-based spans: [3,6) cuts '234', [11,15) cuts 'abcd'
+    assert r.clean_text == "0156789efghij"
+    assert r.n_cut_chars == 7
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Docs sharing a 13-gram with the benchmark are flagged with the
+    exact distinct-gram hit count; short and clean docs are not."""
+    from batukh_spark.operators.decontam import decontaminate
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    plant = " ".join(f"b{i}" for i in range(13))       # grams 1 hit
+    docs = spark.createDataFrame(
+        [(1, bench_text),                               # verbatim member
+         (2, "clean doc " + " ".join(f"c{i}" for i in range(30))),
+         (3, "prefix words here " + plant),             # planted slice
+         (4, "too short to hold any thirteen gram")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    got = {r.doc_id: (r.contaminated, r.n_hits)
+           for r in decontaminate(docs, bench).collect()}
+    assert got[1] == (True, 8)     # 20 tokens -> 8 distinct 13-grams
+    assert got[2] == (False, 0)
+    assert got[3] == (True, 1)     # exactly the planted gram
+    assert got[4] == (False, 0)
