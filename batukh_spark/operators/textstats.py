@@ -41,6 +41,8 @@ LANG_PROFILES = {
            "他", "这", "个", "们", "中", "来", "上", "大"],
     "ja": ["の", "に", "は", "を", "た", "が", "で", "て",
            "と", "し", "れ", "さ", "ある", "いる", "も", "する"],
+    "uk": ["і", "в", "не", "на", "що", "я", "з", "він",
+           "як", "це", "до", "але", "його", "та", "у", "же"],
 }
 
 STOPWORDS_EN = LANG_PROFILES["en"][:8]
@@ -149,54 +151,106 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
         F.round(score, 4).alias("quality"))
 
 
-# minimum count of CJK/kana codepoints before the script gate fires —
-# a single stray ideograph in a Latin doc must not flip the verdict
+# minimum count of script-decisive codepoints before the script gate
+# fires — a single stray foreign char in a Latin doc must not flip the
+# verdict
 CJK_MIN_CHARS = 4
+
+# non-Latin script gates beyond CJK/kana: codepoint range (hex, both
+# inclusive) -> verdict.  A None verdict means the script does not
+# determine the language and a script-local stopword argmax decides
+# (Cyrillic: ru vs uk).  The single-language verdicts are the dominant
+# web-text language of each script — a documented approximation (e.g.
+# Devanagari also writes Marathi/Nepali), the same trade the CJK gate
+# already makes for zh.
+SCRIPT_GATES = {
+    "arab": ("0600", "06ff", "ar"),
+    "cyrl": ("0400", "04ff", None),
+    "deva": ("0900", "097f", "hi"),
+    "grek": ("0370", "03ff", "el"),
+    "hang": ("ac00", "d7a3", "ko"),
+    "hebr": ("0590", "05ff", "he"),
+    "thai": ("0e00", "0e7f", "th"),
+}
+CYRILLIC_LANGS = ("ru", "uk")
+
+
+def _profile_argmax(toks, langs):
+    """max-by-(hits, lang asc) over stopword profiles as one fold."""
+    scores = []
+    for lang in sorted(langs):
+        prof = F.array([F.lit(w) for w in LANG_PROFILES[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
+        scores.append(F.struct(hits.alias("hits"),
+                               F.lit(lang).alias("lang")))
+    return F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).alias("hits"), F.lit("zz").alias("lang")),
+        lambda acc, s: F.when(
+            (s["hits"] > acc["hits"])
+            | ((s["hits"] == acc["hits"]) & (s["lang"] < acc["lang"])),
+            s).otherwise(acc))
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """Two-stage language ID.  Returns (id, pred_lang, hits).
 
-    1. Script gate: if the text contains >= CJK_MIN_CHARS CJK-ideograph
-       (U+4E00-U+9FFF) or kana (U+3040-U+30FF) codepoints, classify by
-       script — kana present => ja, else zh; hits = the codepoint
-       count.  This classifies UNSEGMENTED zh/ja text, which whitespace
-       tokenization can never match against token profiles (those chars
-       are decisive: they do not occur in Latin-script text).
+    1. Script gate: count codepoints per non-Latin script (CJK
+       ideographs U+4E00-9FFF + kana U+3040-30FF as one "cjk" family,
+       plus SCRIPT_GATES: Arabic, Cyrillic, Devanagari, Greek, Hangul,
+       Hebrew, Thai).  If the dominant script has >= CJK_MIN_CHARS
+       codepoints (ties break by script key asc), classify by script:
+       cjk => ja when kana present else zh; Cyrillic => stopword argmax
+       between ru/uk (NULL when neither profile hits — script evidence
+       alone cannot pick the language); other scripts => their
+       SCRIPT_GATES verdict.  This classifies UNSEGMENTED text, which
+       whitespace tokenization can never match against token profiles.
+       hits = the script codepoint count (Cyrillic: the winning
+       profile's stopword hits, since that is what decided).
     2. Otherwise stopword-profile argmax over LANG_PROFILES (ties broken
        by language code asc) — and pred_lang is NULL when no profile
        word hits at all, so a consumer never mistakes an arbitrary
-       tie-break for a real verdict (hits = 0 used to silently label
-       such docs with the alphabetically-first language)."""
+       tie-break for a real verdict."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     n_cjk = F.length(F.regexp_replace(c, "[^\u4e00-\u9fff]", ""))
     n_kana = F.length(F.regexp_replace(c, "[^\u3040-\u30ff]", ""))
-    script_hits = n_cjk + n_kana
-    toks = tokens_col(text_col)
-    scores = []
-    for lang in sorted(LANG_PROFILES):
-        prof = F.array([F.lit(w) for w in LANG_PROFILES[lang]])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
-        scores.append(F.struct(hits.alias("hits"),
-                               F.lit(lang).alias("lang")))
-    # max by (hits, reversed-lang) then tie-break asc: array_max on struct
-    # compares fields in order — use (hits, negative-lang) is impossible on
-    # strings, so sort desc by hits, asc by lang via aggregate:
-    arr = F.array(*scores)
-    best = F.aggregate(
-        arr,
-        F.struct(F.lit(-1).alias("hits"), F.lit("zz").alias("lang")),
+    script_counts = {"cjk": n_cjk + n_kana}
+    for key, (lo, hi, _v) in SCRIPT_GATES.items():
+        cls = f"[^{chr(int(lo, 16))}-{chr(int(hi, 16))}]"
+        script_counts[key] = F.length(F.regexp_replace(c, cls, ""))
+    sarr = F.array(*[
+        F.struct(script_counts[k].alias("cnt"), F.lit(k).alias("skey"))
+        for k in sorted(script_counts)])
+    sbest = F.aggregate(
+        sarr,
+        F.struct(F.lit(-1).alias("cnt"), F.lit("zz").alias("skey")),
         lambda acc, s: F.when(
-            (s["hits"] > acc["hits"])
-            | ((s["hits"] == acc["hits"]) & (s["lang"] < acc["lang"])),
+            (s["cnt"] > acc["cnt"])
+            | ((s["cnt"] == acc["cnt"]) & (s["skey"] < acc["skey"])),
             s).otherwise(acc))
-    pred = (F.when(script_hits >= CJK_MIN_CHARS,
-                   F.when(n_kana > 0, F.lit("ja")).otherwise(F.lit("zh")))
+    toks = tokens_col(text_col)
+    best = _profile_argmax(toks, LANG_PROFILES)
+    cyr_best = _profile_argmax(toks, CYRILLIC_LANGS)
+    script_verdict = F.when(
+        sbest["skey"] == "cjk",
+        F.when(n_kana > 0, F.lit("ja")).otherwise(F.lit("zh")))
+    for key, (_lo, _hi, v) in sorted(SCRIPT_GATES.items()):
+        if v is None:
+            script_verdict = script_verdict.when(
+                sbest["skey"] == key,
+                F.when(cyr_best["hits"] > 0, cyr_best["lang"])
+                .otherwise(F.lit(None).cast("string")))
+        else:
+            script_verdict = script_verdict.when(
+                sbest["skey"] == key, F.lit(v))
+    gated = sbest["cnt"] >= CJK_MIN_CHARS
+    pred = (F.when(gated, script_verdict)
             .when(best["hits"] > 0, best["lang"])
             .otherwise(F.lit(None).cast("string")))
-    hits = F.when(script_hits >= CJK_MIN_CHARS, script_hits) \
-        .otherwise(best["hits"])
+    hits = (F.when(gated & (sbest["skey"] == "cyrl"), cyr_best["hits"])
+            .when(gated, sbest["cnt"])
+            .otherwise(best["hits"]))
     return docs.select(F.col(id_col),
                        pred.alias("pred_lang"),
                        hits.alias("hits"))

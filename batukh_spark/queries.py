@@ -1123,20 +1123,43 @@ def lang_id_q(spark, sf):
 
 
 def _lang_cte(src: str, p: str = "") -> str:
-    """{p}ltoks/{p}langs/{p}lh/{p}lr/{p}lscript/{p}lpred CTE bodies
-    over `src`(doc_id, text) — generated from the SAME LANG_PROFILES
-    literals the Spark operator uses (12 languages x 16 stopwords).
-    Mirrors the two-stage operator: CJK/kana script gate first
-    (>= CJK_MIN_CHARS codepoints => ja when kana present else zh),
-    then stopword-hit argmax with ties broken by language code asc and
-    a NULL verdict at 0 hits.  `{p}lpred` = (doc_id, pred_lang, hits).
-    """
+    """{p}ltoks/{p}langs/{p}lh/{p}lr/{p}lcyr/{p}lscript/{p}lsb/{p}lpred
+    CTE bodies over `src`(doc_id, text) — generated from the SAME
+    LANG_PROFILES / SCRIPT_GATES literals the Spark operator uses.
+    Mirrors the two-stage operator: dominant-script gate first (CJK =>
+    ja/zh by kana, Cyrillic => ru/uk stopword argmax or NULL, other
+    gated scripts => their verdict), then stopword-hit argmax with
+    ties broken by language code asc and a NULL verdict at 0 hits.
+    `{p}lpred` = (doc_id, pred_lang, hits)."""
     from batukh_spark.operators.textstats import (CJK_MIN_CHARS,
-                                                  LANG_PROFILES)
+                                                  CYRILLIC_LANGS,
+                                                  LANG_PROFILES,
+                                                  SCRIPT_GATES)
     vals = ",\n         ".join(
         "('{}', [{}])".format(
             lang, ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]))
         for lang in sorted(LANG_PROFILES))
+    cyr_in = ", ".join(f"'{x}'" for x in CYRILLIC_LANGS)
+    script_cols = [
+        r"length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))"
+        "\n           as n_cjk",
+        r"length(regexp_replace(text, '[^\x{3040}-\x{30ff}]', '', 'g'))"
+        "\n           as n_kana"]
+    cnt_arms = ["when 'cjk' then n_cjk + n_kana"]
+    verdict_arms = []
+    for key in sorted(SCRIPT_GATES):
+        lo, hi, v = SCRIPT_GATES[key]
+        script_cols.append(
+            "length(regexp_replace(text, '[^\\x{%s}-\\x{%s}]', '', 'g'))"
+            "\n           as n_%s" % (lo, hi, key))
+        cnt_arms.append(f"when '{key}' then n_{key}")
+        if v is not None:
+            verdict_arms.append(f"when '{key}' then '{v}'")
+    scols = ",\n         ".join(script_cols)
+    carms = "\n                    ".join(cnt_arms)
+    varms = "\n                  ".join(verdict_arms)
+    skeys = ", ".join(f"('{k}')"
+                      for k in sorted(["cjk"] + list(SCRIPT_GATES)))
     return rf"""{p}ltoks as (
   select doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                              x -> x <> '') as tokens
@@ -1152,23 +1175,48 @@ def _lang_cte(src: str, p: str = "") -> str:
          row_number() over (partition by doc_id
                             order by hits desc, lang asc) as rn
   from {p}lh
+), {p}lcyr as (
+  select doc_id, lang, hits,
+         row_number() over (partition by doc_id
+                            order by hits desc, lang asc) as rn
+  from {p}lh where lang in ({cyr_in})
 ), {p}lscript as (
   select doc_id,
-         length(regexp_replace(text, '[^\x{{4e00}}-\x{{9fff}}]', '', 'g'))
-           as n_cjk,
-         length(regexp_replace(text, '[^\x{{3040}}-\x{{30ff}}]', '', 'g'))
-           as n_kana
+         {scols}
   from {src}
+), {p}lsb as (
+  select doc_id, skey, cnt from (
+    select doc_id, skey, cnt,
+           row_number() over (partition by doc_id
+                              order by cnt desc, skey asc) as rn
+    from (
+      select s.doc_id, u.skey,
+             case u.skey {carms}
+                    end as cnt
+      from {p}lscript s cross join (values {skeys}) u(skey)
+    )
+  ) where rn = 1
 ), {p}lpred as (
   select r.doc_id,
-         case when s.n_cjk + s.n_kana >= {CJK_MIN_CHARS}
-                then case when s.n_kana > 0 then 'ja' else 'zh' end
+         case when b.cnt >= {CJK_MIN_CHARS} then
+                case b.skey
+                  when 'cjk' then
+                    case when s.n_kana > 0 then 'ja' else 'zh' end
+                  when 'cyrl' then
+                    case when cy.hits > 0 then cy.lang else null end
+                  {varms}
+                  end
               when r.hits > 0 then r.lang
               else null end as pred_lang,
-         case when s.n_cjk + s.n_kana >= {CJK_MIN_CHARS}
-                then s.n_cjk + s.n_kana
+         case when b.cnt >= {CJK_MIN_CHARS} and b.skey = 'cyrl'
+                then cy.hits
+              when b.cnt >= {CJK_MIN_CHARS} then b.cnt
               else r.hits end as hits
-  from {p}lr r join {p}lscript s using (doc_id) where rn = 1
+  from {p}lr r
+  join {p}lscript s using (doc_id)
+  join {p}lsb b using (doc_id)
+  join {p}lcyr cy on cy.doc_id = r.doc_id and cy.rn = 1
+  where r.rn = 1
 )"""
 
 

@@ -471,3 +471,79 @@ def test_decontaminate_planted_overlap(spark):
     assert got[2] == (False, 0)
     assert got[3] == (True, 1)     # exactly the planted gram
     assert got[4] == (False, 0)
+
+
+def test_lang_id_script_gates_planted(spark):
+    """One planted doc per newly-gated script (Arabic, Cyrillic ru/uk,
+    Devanagari, Greek, Hangul, Hebrew, Thai), plus guards: a stray
+    foreign char must not flip a Latin doc, and Cyrillic with no ru/uk
+    stopword evidence stays NULL.  The regenerated DuckDB oracle must
+    agree with the operator on every planted row."""
+    import duckdb
+
+    rows = [
+        (1, "هذا نص عربي بدون أي كلمات لاتينية"),          # Arabic
+        (2, "это текст на русском языке и он не короткий"),  # ru (и/не/он)
+        (3, "це текст українською мовою і він не короткий"),  # uk (і/він)
+        (4, "यह एक हिंदी वाक्य है जिसमें देवनागरी है"),       # Devanagari
+        (5, "αυτό είναι ένα ελληνικό κείμενο χωρίς λατινικά"),  # Greek
+        (6, "이것은 한국어 문장입니다 띄어쓰기 포함"),        # Hangul
+        (7, "זהו טקסט בעברית ללא מילים לטיניות"),           # Hebrew
+        (8, "นี่คือข้อความภาษาไทยไม่มีช่องว่าง"),            # Thai
+        (9, "the cat sat on the mat with the dog 水"),      # en + 1 stray
+        (10, "қазақ тілінде жазылған мәтін осында"),        # Cyrillic, not ru/uk
+        (11, "これは日本語のテキストです"),                  # ja regression
+        (12, "这是一个中文句子没有分词"),                    # zh regression
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.pred_lang, r.hits)
+           for r in textstats.lang_id(df).collect()}
+    assert got[1][0] == "ar"
+    assert got[2][0] == "ru"
+    assert got[3][0] == "uk"
+    assert got[4][0] == "hi"
+    assert got[5][0] == "el"
+    assert got[6][0] == "ko"
+    assert got[7][0] == "he"
+    assert got[8][0] == "th"
+    assert got[9][0] == "en"          # stray char below the gate
+    assert got[10][0] is None         # Cyrillic but no ru/uk evidence
+    assert got[10][1] == 0
+    assert got[11][0] == "ja"
+    assert got[12][0] == "zh"
+    # cross-engine: the regenerated oracle agrees row-for-row
+    from batukh_spark.queries import LANG_ID_SQL
+    con = duckdb.connect()
+    con.execute("create table documents(doc_id bigint, text varchar)")
+    con.executemany("insert into documents values (?, ?)", rows)
+    want = {r[0]: (r[1], r[2]) for r in con.execute(LANG_ID_SQL).fetchall()}
+    assert got == want
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach the corpus as a BROADCAST
+    hash join (never a corpus-sized shuffle), and no corpus-side
+    exchange may collapse to a single partition."""
+    from batukh_spark.operators.decontam import decontaminate
+    docs = spark.createDataFrame(
+        [(i, "w%d " % i * 30) for i in range(50)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "w0 " * 30)], "bench_id long, text string").select("text")
+    plan = decontaminate(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_passage_spans_plan_no_single_partition(spark):
+    """Span merging windows/aggregations must stay keyed on the doc id
+    — a global (SinglePartition) window would serialize the corpus."""
+    from batukh_spark.operators.textstats import duplicated_passage_spans
+    docs = spark.createDataFrame(
+        [(i, "w%d " % i * 30) for i in range(50)],
+        "doc_id long, text string")
+    plan = duplicated_passage_spans(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
