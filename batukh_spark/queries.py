@@ -2120,10 +2120,12 @@ def _quality_cte(src: str, p: str = "") -> str:
 )"""
 
 
-# the composed training-mix oracle: extraction closed form (html turn of
-# EXTRACT_TRANSCRIPTS_SQL) -> keep_set verdict (CORPUS_KEEP_SET_SQL
-# CTEs) -> quality + language gate -> deterministic sample -> chunking
-TRAINING_MIX_SQL = (
+# the composed training-mix CTE chain: extraction closed form (html turn
+# of EXTRACT_TRANSCRIPTS_SQL) -> keep_set verdict (CORPUS_KEEP_SET_SQL
+# CTEs) -> decontamination -> quality + language gate -> deterministic
+# sample -> chunking.  Shared by TRAINING_MIX_SQL (chunk rows) and
+# TRAINING_BATCHES_SQL (packed 256-token training rows).
+_TRAINING_MIX_CTES = (
     _DOCSTATS_CTE.replace("with s as", "with recursive s as", 1)
     + f""", ext0 as (
   select doc_id,
@@ -2191,11 +2193,52 @@ TRAINING_MIX_SQL = (
   select * from gated
   where substr(md5('mix1:' || doc_id::varchar), 1, 4) <
         case pred_lang when 'en' then '8000' else '4000' end
-), {_chunk_sql("sampled")}
+), {_chunk_sql("sampled")}""")
+
+TRAINING_MIX_SQL = _TRAINING_MIX_CTES + """
 select ch.doc_id, ch.chunk_idx, ch.n_tokens, ch.chunk_text,
        s2.pred_lang, s2.quality
 from chunks ch join sampled s2 using (doc_id)
-""")
+"""
+
+
+def training_batches_q(spark, sf):
+    """FULL-PATH capstone: the training_mix pipeline (extraction ->
+    dedup -> decontamination -> quality/lang gate -> stratified sample
+    -> chunking) packed concat-and-split into materialized 256-token
+    training rows — the artifact a pretraining dataloader actually
+    reads.  Packing order is the deterministic (doc_id, chunk_idx)
+    total order, so the result is invariant to partitioning."""
+    from batukh_spark.operators.text import assemble_sequences
+    mixed = training_mix_q(spark, sf)
+    return assemble_sequences(mixed, seq_len=256)
+
+
+TRAINING_BATCHES_SQL = _TRAINING_MIX_CTES + """
+, g as (
+  select doc_id, chunk_idx, n_tokens, chunk_text,
+         coalesce(sum(n_tokens) over (
+           order by doc_id, chunk_idx
+           rows between unbounded preceding and 1 preceding),
+           0)::bigint as gstart
+  from chunks where n_tokens > 0
+), pieces as (
+  select doc_id, chunk_idx, chunk_text, s::bigint as seq_id,
+         (greatest(gstart, s * 256) - gstart)::bigint as tok_begin,
+         (least(gstart + n_tokens, (s + 1) * 256) - gstart)::bigint
+           as tok_end,
+         (greatest(gstart, s * 256) - s * 256)::bigint as seq_pos
+  from g, unnest(generate_series(gstart // 256,
+                                 (gstart + n_tokens - 1) // 256)) as t(s)
+)
+select seq_id,
+       sum(tok_end - tok_begin)::bigint as n_tokens,
+       string_agg(array_to_string(
+         (string_split(chunk_text, ' '))[tok_begin+1 : tok_end], ' '),
+         ' ' order by seq_pos) as seq_text
+from pieces
+group by seq_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2243,6 +2286,7 @@ QUERIES = {
     "incremental_keep_set": (incremental_keep_set_q,
                              INCREMENTAL_KEEP_SET_SQL),
     "training_mix": (training_mix_q, TRAINING_MIX_SQL),
+    "training_batches": (training_batches_q, TRAINING_BATCHES_SQL),
     "pii_redact": (pii_redact_q, PII_REDACT_SQL),
     "decontaminate": (decontaminate_q, DECONTAMINATE_SQL),
     "duplicated_passages": (duplicated_passages_q, DUPLICATED_PASSAGES_SQL),

@@ -67,8 +67,8 @@ BENCH_QUERIES = [
     "chunk_documents", "corpus_sample", "pack_sequences",
     "packed_sequences",
     "fingerprint_candidates", "incremental_keep_set", "training_mix",
-    "pii_redact", "decontaminate", "duplicated_passages",
-    "passage_excision",
+    "training_batches", "pii_redact", "decontaminate",
+    "duplicated_passages", "passage_excision",
     "cosine_topk", "ivf_cluster_sizes", "srp_near_dup", "media_features",
     "video_frame_sample",
 ]
