@@ -47,7 +47,8 @@ def training_mix(docs: DataFrame, rates: dict[str, float],
                  id_col: str = "doc_id",
                  text_col: str = "text",
                  benchmark: DataFrame | None = None,
-                 decontam_n: int = 13) -> DataFrame:
+                 decontam_n: int = 13,
+                 bench_text_col: str | None = None) -> DataFrame:
     """docs(doc_id, text) -> one row per training chunk:
     (doc_id, chunk_idx, n_tokens, chunk_text, pred_lang, quality).
 
@@ -70,7 +71,8 @@ def training_mix(docs: DataFrame, rates: dict[str, float],
             .localCheckpoint())
     if benchmark is not None:
         dec = decontaminate(kept, benchmark, n=decontam_n,
-                            id_col=id_col, text_col=text_col)
+                            id_col=id_col, text_col=text_col,
+                            bench_text_col=bench_text_col or text_col)
         # re-checkpoint: the decontam gram join would otherwise re-run
         # per downstream consumer of `kept`
         kept = (kept.join(dec.filter(~F.col("contaminated"))

@@ -153,7 +153,9 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
 
 # minimum count of script-decisive codepoints before the script gate
 # fires — a single stray foreign char in a Latin doc must not flip the
-# verdict
+# verdict.  The gate ALSO requires the script to outnumber the doc's
+# Latin letters (see lang_id): a mostly-English document quoting a few
+# foreign words stays with the stopword verdict.
 CJK_MIN_CHARS = 4
 
 # non-Latin script gates beyond CJK/kana: codepoint range (hex, both
@@ -199,8 +201,13 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     1. Script gate: count codepoints per non-Latin script (CJK
        ideographs U+4E00-9FFF + kana U+3040-30FF as one "cjk" family,
        plus SCRIPT_GATES: Arabic, Cyrillic, Devanagari, Greek, Hangul,
-       Hebrew, Thai).  If the dominant script has >= CJK_MIN_CHARS
-       codepoints (ties break by script key asc), classify by script:
+       Hebrew, Thai).  The gate fires only when the dominant script
+       (ties break by script key asc) has >= CJK_MIN_CHARS codepoints
+       AND outnumbers the doc's Latin letters — a mostly-English paper
+       quoting a Greek formula or a Cyrillic phrase keeps its stopword
+       verdict instead of being flipped (or NULL-dropped) by a handful
+       of foreign chars; counting is one regexp_count scan per script
+       class, no stripped-string materialization.  When it fires:
        cjk => ja when kana present else zh; Cyrillic => stopword argmax
        between ru/uk (NULL when neither profile hits — script evidence
        alone cannot pick the language); other scripts => their
@@ -213,12 +220,13 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
        word hits at all, so a consumer never mistakes an arbitrary
        tie-break for a real verdict."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    n_cjk = F.length(F.regexp_replace(c, "[^\u4e00-\u9fff]", ""))
-    n_kana = F.length(F.regexp_replace(c, "[^\u3040-\u30ff]", ""))
+    n_cjk = F.regexp_count(c, F.lit("[\u4e00-\u9fff]"))
+    n_kana = F.regexp_count(c, F.lit("[\u3040-\u30ff]"))
+    n_latin = F.regexp_count(c, F.lit("[A-Za-z]"))
     script_counts = {"cjk": n_cjk + n_kana}
     for key, (lo, hi, _v) in SCRIPT_GATES.items():
-        cls = f"[^{chr(int(lo, 16))}-{chr(int(hi, 16))}]"
-        script_counts[key] = F.length(F.regexp_replace(c, cls, ""))
+        cls = f"[{chr(int(lo, 16))}-{chr(int(hi, 16))}]"
+        script_counts[key] = F.regexp_count(c, F.lit(cls))
     sarr = F.array(*[
         F.struct(script_counts[k].alias("cnt"), F.lit(k).alias("skey"))
         for k in sorted(script_counts)])
@@ -244,7 +252,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
         else:
             script_verdict = script_verdict.when(
                 sbest["skey"] == key, F.lit(v))
-    gated = sbest["cnt"] >= CJK_MIN_CHARS
+    gated = (sbest["cnt"] >= CJK_MIN_CHARS) & (sbest["cnt"] > n_latin)
     pred = (F.when(gated, script_verdict)
             .when(best["hits"] > 0, best["lang"])
             .otherwise(F.lit(None).cast("string")))
@@ -271,18 +279,20 @@ def _winnow_mins(grams, w: int):
         .otherwise(F.array_distinct(grams))
 
 
-def _winnow_fps(docs: DataFrame, id_col: str, text_col: str,
-                k: int, w: int) -> DataFrame:
-    """Distinct (id, fp) winnowing fingerprints via WHOLE-STAGE-CODEGEN
-    hashing: posexplode gram positions -> codegen md5(substring) -> a
-    doc-keyed window min over the next w-1 rows -> distinct.  Value-
-    identical to exploding `_winnow_mins` (verified on the full test
-    corpus) but ~20x faster (78s -> 3.5s at sf0.1): nested higher-order
-    lambdas are INTERPRETED per element, while this shape keeps every
-    md5 and comparison inside codegen — the same explode-instead-of-
-    transform trick minhash_signature uses.  Cost: one shuffle of
-    (id, 32B hash) pairs for the window — which the candidate
-    self-join needs co-location for anyway."""
+def _winnow_rows(docs: DataFrame, id_col: str, text_col: str,
+                 k: int, w: int) -> DataFrame:
+    """PRE-DISTINCT winnowing rows (id, fp, pos) via WHOLE-STAGE-CODEGEN
+    hashing — the single source of truth for both `_winnow_fps`
+    (doc-level fingerprints; position dropped) and `_winnow_fps_pos`
+    (passage spans): posexplode gram positions -> codegen
+    md5(substring) -> a doc-keyed window min over the next w-1 rows,
+    taken over struct(gram, position) so ties inside a window break to
+    the smallest position.  Value-identical to exploding `_winnow_mins`
+    (verified on the full test corpus) but ~20x faster: nested
+    higher-order lambdas are INTERPRETED per element, while this shape
+    keeps every md5 and comparison inside codegen.  Cost: one shuffle
+    of (id, 32B hash, int pos) for the window — which every downstream
+    consumer needs co-located by id anyway."""
     from pyspark.sql import Window
     c = F.col(text_col)
     base = docs.select(F.col(id_col), c.alias("__t"),
@@ -298,15 +308,25 @@ def _winnow_fps(docs: DataFrame, id_col: str, text_col: str,
     win = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, w - 1)
     mins = grams.select(
         F.col(id_col), F.col("__n"), F.col("__i"), F.col("__g"),
-        F.min("__g").over(win).alias("__m"))
+        F.min(F.struct(F.col("__g"), F.col("__i"))).over(win)
+        .alias("__m"))
     # n >= w: windows starting at i <= n-w+1; n < w: every gram itself
     return (mins
             .filter((F.col("__n") < w)
                     | (F.col("__i") <= F.col("__n") - (w - 1)))
             .select(F.col(id_col),
                     F.when(F.col("__n") < w, F.col("__g"))
-                    .otherwise(F.col("__m")).alias("fp"))
-            .distinct())
+                    .otherwise(F.col("__m.__g")).alias("fp"),
+                    F.when(F.col("__n") < w, F.col("__i"))
+                    .otherwise(F.col("__m.__i")).alias("pos")))
+
+
+def _winnow_fps(docs: DataFrame, id_col: str, text_col: str,
+                k: int, w: int) -> DataFrame:
+    """Distinct (id, fp) winnowing fingerprints — `_winnow_rows` with
+    the position dropped (doc-level dedup / candidate pairing)."""
+    return _winnow_rows(docs, id_col, text_col, k, w) \
+        .select(F.col(id_col), "fp").distinct()
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
@@ -330,39 +350,12 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
 
 def _winnow_fps_pos(docs: DataFrame, id_col: str, text_col: str,
                     k: int, w: int) -> DataFrame:
-    """`_winnow_fps` plus WHERE each fingerprint lives: distinct
-    (id, fp, pos) with pos = the 1-based char position of the selected
-    gram (ties inside a window break to the smallest position, via a
-    min over struct(gram, pos)).  Same codegen shape as _winnow_fps;
-    the extra column is 4 bytes on the same (id-keyed) shuffle.  This
-    is what lets the passage-level operators map a shared fingerprint
-    back to a char span instead of stopping at a doc-level verdict."""
-    from pyspark.sql import Window
-    c = F.col(text_col)
-    base = docs.select(F.col(id_col), c.alias("__t"),
-                       (F.length(c) - (k - 1)).alias("__n")) \
-        .filter(F.col("__n") >= 1)
-    grams = base.select(
-        F.col(id_col), F.col("__n"),
-        F.posexplode(F.sequence(F.lit(1), F.col("__n")))
-        .alias("__p", "__i"),
-        F.col("__t")).select(
-        F.col(id_col), F.col("__n"), F.col("__i"),
-        F.md5(F.expr(f"substring(__t, __i, {k})")).alias("__g"))
-    win = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, w - 1)
-    mins = grams.select(
-        F.col(id_col), F.col("__n"), F.col("__i"), F.col("__g"),
-        F.min(F.struct(F.col("__g"), F.col("__i"))).over(win)
-        .alias("__m"))
-    return (mins
-            .filter((F.col("__n") < w)
-                    | (F.col("__i") <= F.col("__n") - (w - 1)))
-            .select(F.col(id_col),
-                    F.when(F.col("__n") < w, F.col("__g"))
-                    .otherwise(F.col("__m.__g")).alias("fp"),
-                    F.when(F.col("__n") < w, F.col("__i"))
-                    .otherwise(F.col("__m.__i")).alias("pos"))
-            .distinct())
+    """Distinct (id, fp, pos) — `_winnow_rows` deduplicated, keeping
+    WHERE each fingerprint lives (1-based char position of the
+    selected gram).  This is what lets the passage-level operators map
+    a shared fingerprint back to a char span instead of stopping at a
+    doc-level verdict."""
+    return _winnow_rows(docs, id_col, text_col, k, w).distinct()
 
 
 def duplicated_passage_spans(docs: DataFrame, id_col: str = "doc_id",

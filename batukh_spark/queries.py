@@ -1141,16 +1141,18 @@ def _lang_cte(src: str, p: str = "") -> str:
         for lang in sorted(LANG_PROFILES))
     cyr_in = ", ".join(f"'{x}'" for x in CYRILLIC_LANGS)
     script_cols = [
-        r"length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))"
+        r"len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))"
         "\n           as n_cjk",
-        r"length(regexp_replace(text, '[^\x{3040}-\x{30ff}]', '', 'g'))"
-        "\n           as n_kana"]
+        r"len(regexp_extract_all(text, '[\x{3040}-\x{30ff}]'))"
+        "\n           as n_kana",
+        "len(regexp_extract_all(text, '[A-Za-z]'))"
+        "\n           as n_latin"]
     cnt_arms = ["when 'cjk' then n_cjk + n_kana"]
     verdict_arms = []
     for key in sorted(SCRIPT_GATES):
         lo, hi, v = SCRIPT_GATES[key]
         script_cols.append(
-            "length(regexp_replace(text, '[^\\x{%s}-\\x{%s}]', '', 'g'))"
+            "len(regexp_extract_all(text, '[\\x{%s}-\\x{%s}]'))"
             "\n           as n_%s" % (lo, hi, key))
         cnt_arms.append(f"when '{key}' then n_{key}")
         if v is not None:
@@ -1198,7 +1200,7 @@ def _lang_cte(src: str, p: str = "") -> str:
   ) where rn = 1
 ), {p}lpred as (
   select r.doc_id,
-         case when b.cnt >= {CJK_MIN_CHARS} then
+         case when b.cnt >= {CJK_MIN_CHARS} and b.cnt > s.n_latin then
                 case b.skey
                   when 'cjk' then
                     case when s.n_kana > 0 then 'ja' else 'zh' end
@@ -1208,9 +1210,11 @@ def _lang_cte(src: str, p: str = "") -> str:
                   end
               when r.hits > 0 then r.lang
               else null end as pred_lang,
-         case when b.cnt >= {CJK_MIN_CHARS} and b.skey = 'cyrl'
+         case when b.cnt >= {CJK_MIN_CHARS} and b.cnt > s.n_latin
+                   and b.skey = 'cyrl'
                 then cy.hits
-              when b.cnt >= {CJK_MIN_CHARS} then b.cnt
+              when b.cnt >= {CJK_MIN_CHARS} and b.cnt > s.n_latin
+                then b.cnt
               else r.hits end as hits
   from {p}lr r
   join {p}lscript s using (doc_id)

@@ -117,18 +117,35 @@ def _version_dirs(spark: SparkSession, target: str,
     return sorted(out)
 
 
+def _legacy_root_files(spark: SparkSession, target: str) -> list:
+    """URIs of loose data files at the store ROOT (the legacy
+    un-versioned layout): plain files, excluding _-prefixed markers
+    and any vNNNNNN version dirs."""
+    fs, root = _hadoop_fs(spark, target)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() and not name.startswith(("_", ".")):
+            out.append(st.getPath().toString())
+    return out
+
+
 def append_manifest(df: DataFrame, target: str) -> None:
     """Append manifest rows into the CURRENT version dir (vNNNNNN) of
     the versioned layout — created at v000001 on first write.  A
     legacy un-versioned store (loose part files at the root) keeps
     receiving root appends until its first compaction migrates it.
 
-    Versioned-vs-legacy routing keys on the PRESENCE of any vNNNNNN
-    dir, committed or not: a crashed first write leaves an orphan
-    version dir without _SUCCESS, and the store must stay versioned —
-    appends then open the NEXT version number rather than writing into
-    the possibly-torn orphan (a crash during commitJob can leave a
-    subset of task files behind; committing on top of them would
+    Crash-window routing: a crashed write can leave an orphan version
+    dir without _SUCCESS.  Committed state wins — a committed version
+    receives the append; else committed LEGACY root files do (an
+    orphan left by a crashed first compaction must not strand the
+    still-committed legacy rows); only a store whose ONLY content is
+    uncommitted orphans opens the NEXT version number (never writing
+    into a possibly-torn orphan — a crash during commitJob can leave a
+    subset of task files behind, and committing on top of them would
     surface the torn rows)."""
     spark = df.sparkSession
     if _is_catalog_table(spark, target):
@@ -138,20 +155,18 @@ def append_manifest(df: DataFrame, target: str) -> None:
     if vers:
         df.write.mode("append").parquet(vers[-1][1])
         return
+    if _legacy_root_files(spark, target):
+        df.write.mode("append").parquet(target)     # legacy layout
+        return
     allv = _version_dirs(spark, target, committed_only=False)
     if allv:
-        # versioned layout with only uncommitted orphans: start fresh
-        # above the highest orphan (GC'd at the next compaction)
+        # only uncommitted orphans exist: start fresh above the
+        # highest orphan (GC'd at the next compaction)
         next_n = allv[-1][0] + 1
         df.write.mode("append").parquet(
             f"{target.rstrip('/')}/v{next_n:06d}")
         return
-    fs, root = _hadoop_fs(spark, target)
-    if fs.exists(root) and any(not st.getPath().getName().startswith("_")
-                               for st in fs.listStatus(root)):
-        df.write.mode("append").parquet(target)     # legacy layout
-    else:
-        df.write.mode("append").parquet(f"{target.rstrip('/')}/v000001")
+    df.write.mode("append").parquet(f"{target.rstrip('/')}/v000001")
 
 
 def rewrite_manifest(df: DataFrame, target: str) -> None:
@@ -206,22 +221,26 @@ def read_manifest(spark: SparkSession, target: str) -> DataFrame | None:
     Errors on the catalog / versioned path PROPAGATE: a transient IO
     failure on a store that has committed versions must not be
     reported as "no manifest" — that would make resume silently
-    re-extract every unit and append duplicate manifest rows.  Only
-    the legacy probes (where a missing path is the normal first-run
-    signal) swallow exceptions."""
+    re-extract every unit and append duplicate manifest rows.  A
+    MISSING catalog table, however, is the catalog analogue of the
+    missing-path first-run signal and returns None.  The legacy read
+    lists the root's loose files EXPLICITLY, so an uncommitted orphan
+    version dir (crashed first compaction) can neither hide committed
+    legacy rows nor leak its torn part-files into the result."""
     if _is_catalog_table(spark, target):
+        if not spark.catalog.tableExists(target):
+            return None                  # first run: table not created
         return spark.read.table(target)
     vers = _version_dirs(spark, target)
     if vers:
         return spark.read.parquet(vers[-1][1])
+    legacy = _legacy_root_files(spark, target)
+    if legacy:
+        return spark.read.parquet(*legacy)
     if _version_dirs(spark, target, committed_only=False):
-        # versioned layout whose only versions are uncommitted orphans:
-        # nothing committed yet — and the legacy root read below would
-        # recursively pick up the orphan's torn part files
+        # only uncommitted orphans: nothing committed yet
         return None
-    for path in (target, target.rstrip("/") + ".old"):
-        try:
-            return spark.read.parquet(path)
-        except Exception:
-            continue  # first run (no manifest yet) or mid-swap crash
-    return None
+    try:
+        return spark.read.parquet(target.rstrip("/") + ".old")
+    except Exception:
+        return None  # first run (no manifest yet) or mid-swap crash

@@ -202,3 +202,37 @@ def test_read_manifest_propagates_versioned_read_errors(spark, tmp_path):
                 fh.write(b"not a parquet file")
     with pytest.raises(Exception):
         bio.read_manifest(spark, target).collect()
+
+
+def test_orphan_beside_committed_legacy_store(spark, tmp_path):
+    """A crashed FIRST COMPACTION (orphan vNNNNNN without _SUCCESS, on
+    a store that HAS committed legacy root files) must not strand the
+    legacy rows: reads still return them (without leaking the orphan's
+    torn part-files), appends keep landing at the legacy root, and the
+    next compaction migrates everything while GC'ing the orphan."""
+    target = str(tmp_path / "manifest")
+    spark.range(6).withColumn("s", F.lit("legacy")).write.parquet(target)
+    # crashed compaction: v000001 exists but was never committed
+    orphan = os.path.join(target, "v000001")
+    spark.range(99).withColumn("s", F.lit("torn")).write.parquet(orphan)
+    os.remove(os.path.join(orphan, "_SUCCESS"))
+
+    m = bio.read_manifest(spark, target)
+    assert m is not None and m.count() == 6
+    assert m.filter("s = 'torn'").count() == 0
+
+    bio.append_manifest(spark.range(2).withColumn("s", F.lit("legacy")),
+                        target)
+    m2 = bio.read_manifest(spark, target)
+    assert m2.count() == 8 and m2.filter("s = 'torn'").count() == 0
+
+    # retry of the compaction: numbers above the orphan, migrates the
+    # legacy rows, GCs both the orphan and the loose root files
+    bio.rewrite_manifest(bio.read_manifest(spark, target), target)
+    assert os.path.exists(os.path.join(target, "v000002", "_SUCCESS"))
+    assert not os.path.exists(orphan)
+    m3 = bio.read_manifest(spark, target)
+    assert m3.count() == 8 and m3.filter("s = 'torn'").count() == 0
+    assert all(os.path.isdir(os.path.join(target, f)) or
+               f.startswith(("_", "."))
+               for f in os.listdir(target))

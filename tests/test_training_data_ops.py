@@ -494,6 +494,11 @@ def test_lang_id_script_gates_planted(spark):
         (10, "қазақ тілінде жазылған мәтін осында"),        # Cyrillic, not ru/uk
         (11, "これは日本語のテキストです"),                  # ja regression
         (12, "这是一个中文句子没有分词"),                    # zh regression
+        # mostly-English docs quoting >= 4 foreign chars must keep the
+        # stopword verdict (dominance gate: script must outnumber the
+        # doc's Latin letters, not just clear the absolute threshold)
+        (13, "the theorem uses αβγδε symbols in the proof of the bound"),
+        (14, "the guide says Привет мир is hello world in the course"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: (r.pred_lang, r.hits)
@@ -511,6 +516,8 @@ def test_lang_id_script_gates_planted(spark):
     assert got[10][1] == 0
     assert got[11][0] == "ja"
     assert got[12][0] == "zh"
+    assert got[13][0] == "en"         # Greek formula, Latin-dominant
+    assert got[14][0] == "en"         # Cyrillic quote, Latin-dominant
     # cross-engine: the regenerated oracle agrees row-for-row
     from batukh_spark.queries import LANG_ID_SQL
     con = duckdb.connect()
@@ -547,3 +554,26 @@ def test_passage_spans_plan_no_single_partition(spark):
         .executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_training_mix_forwards_bench_text_col(spark):
+    """training_mix with a non-default text column must decontaminate
+    against the benchmark's SAME-NAMED column (forwarded, not the
+    hard-wired 'text')."""
+    from batukh_spark.mix import training_mix
+    # stopwords interleaved with doc-unique tokens: the language gate
+    # sees 'en' evidence but no 13-gram is shared across docs
+    stops = ("the and of to a in is that it for on with as at "
+             "this but").split()
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"{s} w{i}x{j}" for j, s in
+                      enumerate(stops * 6)))
+         for i in range(8)],
+        "doc_id long, body string")
+    bench = docs.filter("doc_id = 3").select("body")
+    out = training_mix(docs, rates={}, default_rate=1.0,
+                       quality_min=0.0, text_col="body",
+                       benchmark=bench)
+    kept_ids = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert 3 not in kept_ids          # benchmark member decontaminated
+    assert kept_ids                   # others survive
