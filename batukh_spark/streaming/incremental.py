@@ -234,6 +234,73 @@ def streaming_store_keep_set(spark: SparkSession, source_dir: str,
             .drop(*drop))
 
 
+def streaming_decontaminate(spark: SparkSession, source_dir: str,
+                            benchmark, output_dir: str,
+                            checkpoint_dir: str, n: int = 13,
+                            available_now: bool = True):
+    """Streaming twin of `operators.decontam.decontaminate`: arriving
+    transcript rows are flagged against a STATIC eval-benchmark n-gram
+    set and written with (contaminated, n_hits) columns — the
+    crawler-side gate that keeps eval overlap out of a continuously
+    ingested corpus.
+
+    Implemented with `foreachBatch`: the per-doc hit COUNT needs an
+    aggregation after the gram join, which append-mode stream-static
+    joins disallow — foreachBatch runs the full BATCH operator on each
+    micro-batch instead (the standard escape hatch for batch-only
+    logic), so stream verdicts are the batch operator's verdicts by
+    construction.  The benchmark gram set is computed once and
+    persisted; each micro-batch reuses the broadcast.
+
+    Each row is treated as its own document keyed by
+    (conv_id, turn_idx).  Exactly-once per input file via the stream
+    checkpoint; the parquet appends inside foreachBatch are
+    idempotent at file granularity only if the query is not restarted
+    mid-batch with a different batch decomposition — for stronger
+    sinks use the Delta/Iceberg branch of `write_extracted`.
+
+    Returns the STARTED StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.decontam import benchmark_ngrams
+
+    bgrams = benchmark_ngrams(benchmark, n).persist()
+    bgrams.count()      # materialize once, before the stream starts
+
+    def _process(batch_df, _batch_id):
+        from batukh_spark.operators.text import tokens_col, word_shingles
+        keyed = batch_df.withColumn(
+            "__doc", F.concat_ws("#", F.col("conv_id"),
+                                 F.col("turn_idx").cast("string")))
+        dgrams = (keyed
+                  .select(F.col("__doc"),
+                          F.explode(F.array_distinct(
+                              word_shingles(tokens_col("text"), n)))
+                          .alias("g"))
+                  .select(F.col("__doc"), F.md5("g").alias("gram_hash")))
+        hits = (dgrams.join(F.broadcast(bgrams), "gram_hash")
+                .groupBy("__doc")
+                .agg(F.count(F.lit(1)).alias("__n_hits")))
+        out = (keyed.join(hits, "__doc", "left")
+               .withColumn("n_hits",
+                           F.coalesce(F.col("__n_hits"), F.lit(0))
+                           .cast("long"))
+               .withColumn("contaminated", F.col("n_hits") > 0)
+               .drop("__doc", "__n_hits"))
+        out.write.mode("append").parquet(output_dir)
+
+    stream = (spark.readStream
+              .schema(TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", "64")
+              .parquet(source_dir))
+    writer = (stream.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # output schema of the stateful conversation assembler
 CONV_STATE_SCHEMA = ("conv_id string, n_turns long, last_turn_idx int, "
                      "n_tool_turns long")

@@ -177,3 +177,43 @@ def test_streaming_store_keep_set_matches_batch(spark, dirs, tmp_path):
     reasons = {v[1] for v in want.values()}
     # the fixture must actually exercise every verdict class
     assert reasons == {"exact_dup", "near_dup", "unique"}, reasons
+
+
+def test_streaming_decontaminate_matches_batch(spark, dirs, tmp_path):
+    """foreachBatch decontamination must assign the batch operator's
+    exact per-row (contaminated, n_hits) against the same benchmark:
+    re-arrivals of benchmark text flagged, clean rows zero."""
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.decontam import decontaminate
+    from batukh_spark.streaming.incremental import streaming_decontaminate
+
+    arriving = make_transcripts(spark, 12, partitions=2)
+    arriving.write.parquet(dirs["src"])
+    # benchmark = the longest-text turns of 3 conversations
+    bench = (arriving
+             .filter("cast(substr(conv_id, 6) as int) < 3")
+             .filter(F.length("text") >= 120)
+             .select("text"))
+
+    out_dir = str(tmp_path / "decontam_out")
+    q = streaming_decontaminate(spark, dirs["src"], bench, out_dir,
+                                dirs["ckpt"])
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {(r.conv_id, r.turn_idx): (r.contaminated, r.n_hits)
+           for r in spark.read.parquet(out_dir).collect()}
+    batch = decontaminate(
+        spark.read.parquet(dirs["src"])
+        .selectExpr("conv_id || '#' || turn_idx as doc_id", "text",
+                    "conv_id", "turn_idx"),
+        bench, id_col="doc_id")
+    keys = spark.read.parquet(dirs["src"]) \
+        .selectExpr("conv_id || '#' || turn_idx as doc_id",
+                    "conv_id", "turn_idx")
+    want = {(r.conv_id, r.turn_idx): (r.contaminated, r.n_hits)
+            for r in batch.join(keys, "doc_id").collect()}
+    assert got == want
+    flags = {v[0] for v in want.values()}
+    assert flags == {True, False}      # fixture exercises both classes
