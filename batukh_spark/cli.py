@@ -8,6 +8,15 @@ Cluster usage:
 Local / sandbox usage (parquet fallback, synthesizes a corpus on demand):
     python -m batukh_spark.cli --synthesize 1000 --output /tmp/out \
         --metrics /tmp/metrics --parallelism 8
+
+Training-data jobs (input = an extraction OUTPUT table; each extracted
+turn becomes a document keyed conv_id#turn_idx):
+    # dedup -> [decontaminate] -> quality/lang gate -> sample -> chunk
+    python -m batukh_spark.cli --job mix --input /tmp/out \
+        --output /tmp/mix --rates '{"en": 0.5}' [--benchmark eval.parquet]
+    # ... -> packed fixed-length training rows (the dataloader artifact)
+    python -m batukh_spark.cli --job batches --input /tmp/out \
+        --output /tmp/batches --seq-len 256
 """
 
 from __future__ import annotations
@@ -36,30 +45,104 @@ def main(argv=None) -> int:
                         "max_to_keep analogue)")
     p.add_argument("--parallelism", type=int, default=None,
                    help="local[N] cores (ignored on a real cluster)")
+    p.add_argument("--job", choices=["extract", "mix", "batches"],
+                   default="extract",
+                   help="extract (default) | mix (training-chunk rows "
+                        "from an extraction output) | batches (packed "
+                        "fixed-length training rows)")
+    p.add_argument("--rates", default="{}",
+                   help='JSON lang->sampling-rate for the mix, e.g. '
+                        '\'{"en": 0.5}\'')
+    p.add_argument("--default-rate", type=float, default=0.25)
+    p.add_argument("--quality-min", type=float, default=0.45)
+    p.add_argument("--max-tokens", type=int, default=64)
+    p.add_argument("--overlap", type=int, default=8)
+    p.add_argument("--seq-len", type=int, default=256)
+    p.add_argument("--benchmark", default=None,
+                   help="parquet/table of eval texts (column 'text'); "
+                        "when given, the mix decontaminates against it")
+    p.add_argument("--keep-unknown-lang", action="store_true",
+                   help="keep docs with no language verdict (bucketed "
+                        "under the 'und' stratum) instead of dropping "
+                        "them at the gate")
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
         p.error("one of --input / --synthesize is required")
+    if args.job != "extract" and not args.input:
+        p.error(f"--job {args.job} requires --input (an extraction "
+                f"output table)")
 
     from batukh_spark.session import get_spark
     from batukh_spark import pipeline
-    spark = get_spark(app_name="batukh-extract", cores=args.parallelism)
+    spark = get_spark(app_name=f"batukh-{args.job}",
+                      cores=args.parallelism)
     spark.sparkContext.setLogLevel("WARN")
     try:
-        if args.synthesize:
-            from batukh_spark.corpus import make_transcripts
-            source = make_transcripts(spark, args.synthesize, seed=args.seed)
+        if args.job != "extract":
+            summary = _run_training_job(spark, args)
         else:
-            source = args.input
-        summary = pipeline.run_extraction(
-            spark, source, args.output, metrics=args.metrics,
-            run_id=args.run_id, n_units=args.n_units, resume=args.resume)
-        if args.compact_manifest and args.metrics:
-            summary["manifest_rows_kept"] = pipeline.compact_manifest(
-                spark, args.metrics, max_to_keep=args.compact_manifest)
+            if args.synthesize:
+                from batukh_spark.corpus import make_transcripts
+                source = make_transcripts(spark, args.synthesize,
+                                          seed=args.seed)
+            else:
+                source = args.input
+            summary = pipeline.run_extraction(
+                spark, source, args.output, metrics=args.metrics,
+                run_id=args.run_id, n_units=args.n_units,
+                resume=args.resume)
+            if args.compact_manifest and args.metrics:
+                summary["manifest_rows_kept"] = pipeline.compact_manifest(
+                    spark, args.metrics,
+                    max_to_keep=args.compact_manifest)
         print(json.dumps(summary))
         return 0
     finally:
         spark.stop()
+
+
+def _read_table(spark, ident: str):
+    from batukh_spark.sources.io import _is_catalog_table
+    if _is_catalog_table(spark, ident):
+        return spark.read.table(ident)
+    return spark.read.parquet(ident)
+
+
+def _run_training_job(spark, args) -> dict:
+    """mix/batches over an extraction output: every extracted turn is a
+    document (doc_id = conv_id#turn_idx, text = extracted_text)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from batukh_spark.mix import training_mix
+    from batukh_spark.operators.text import assemble_sequences
+
+    t0 = time.time()
+    ext = _read_table(spark, args.input)
+    docs = ext.select(
+        F.concat_ws("#", F.col("conv_id"),
+                    F.col("turn_idx").cast("string")).alias("doc_id"),
+        F.col("extracted_text").alias("text"))
+    bench = (_read_table(spark, args.benchmark).select("text")
+             if args.benchmark else None)
+    mixed = training_mix(
+        docs, rates=json.loads(args.rates),
+        default_rate=args.default_rate, quality_min=args.quality_min,
+        max_tokens=args.max_tokens, overlap=args.overlap,
+        benchmark=bench, keep_unknown_lang=args.keep_unknown_lang)
+    out = (mixed if args.job == "mix"
+           else assemble_sequences(mixed, seq_len=args.seq_len))
+    from batukh_spark.sources.io import _is_catalog_table
+    if _is_catalog_table(spark, args.output):
+        out.writeTo(args.output).createOrReplace()
+        n_rows = spark.read.table(args.output).count()
+    else:
+        out.write.mode("overwrite").parquet(args.output)
+        n_rows = spark.read.parquet(args.output).count()
+    return {"job": args.job, "rows_out": n_rows,
+            "decontaminated": bool(args.benchmark),
+            "wall_s": time.time() - t0}
 
 
 if __name__ == "__main__":

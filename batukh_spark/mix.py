@@ -48,7 +48,8 @@ def training_mix(docs: DataFrame, rates: dict[str, float],
                  text_col: str = "text",
                  benchmark: DataFrame | None = None,
                  decontam_n: int = 13,
-                 bench_text_col: str | None = None) -> DataFrame:
+                 bench_text_col: str | None = None,
+                 keep_unknown_lang: bool = False) -> DataFrame:
     """docs(doc_id, text) -> one row per training chunk:
     (doc_id, chunk_idx, n_tokens, chunk_text, pred_lang, quality).
 
@@ -58,9 +59,12 @@ def training_mix(docs: DataFrame, rates: dict[str, float],
     eval-overlap removal, the gate every production pretraining run
     needs); (2) gate: quality >= quality_min AND a non-null language
     verdict (lang_id returns NULL when it has no evidence — such docs
-    are not trainable mixture members); (3) deterministic hash-gated
-    stratified sampling on pred_lang with `rates`/`default_rate`;
-    (4) context-window chunking at (max_tokens, overlap)."""
+    are not trainable mixture members; `keep_unknown_lang=True` keeps
+    them instead, bucketed under the 'und' stratum, for corpora whose
+    language the stopword/script heuristics cannot see); (3)
+    deterministic hash-gated stratified sampling on pred_lang with
+    `rates`/`default_rate`; (4) context-window chunking at
+    (max_tokens, overlap)."""
     from batukh_spark.operators.decontam import decontaminate
 
     ks = dedup.keep_set(docs, id_col, text_col)
@@ -82,6 +86,9 @@ def training_mix(docs: DataFrame, rates: dict[str, float],
         .select(id_col, "quality")
     lang = textstats.lang_id(kept, id_col, text_col) \
         .select(id_col, "pred_lang")
+    if keep_unknown_lang:
+        lang = lang.withColumn(
+            "pred_lang", F.coalesce(F.col("pred_lang"), F.lit("und")))
     gated = (kept.join(q, id_col).join(lang, id_col)
              .filter((F.col("quality") >= quality_min)
                      & F.col("pred_lang").isNotNull()))
