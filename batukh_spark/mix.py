@@ -89,9 +89,16 @@ def training_mix(docs: DataFrame, rates: dict[str, float],
     if keep_unknown_lang:
         lang = lang.withColumn(
             "pred_lang", F.coalesce(F.col("pred_lang"), F.lit("und")))
-    gated = (kept.join(q, id_col).join(lang, id_col)
-             .filter((F.col("quality") >= quality_min)
-                     & F.col("pred_lang").isNotNull()))
+    # localCheckpoint BEFORE filtering on the computed columns:
+    # predicate pushdown would otherwise collapse the full quality /
+    # lang expression trees into the Filter (and again into the
+    # Project above it), and their interpreted higher-order folds get
+    # re-evaluated per reference — measured 100x on the gate stage
+    # (64s -> 0.6s on a 5k-doc corpus).  The barrier makes the filter
+    # see plain materialized columns.
+    enriched = kept.join(q, id_col).join(lang, id_col).localCheckpoint()
+    gated = enriched.filter((F.col("quality") >= quality_min)
+                            & F.col("pred_lang").isNotNull())
     # `sampled` feeds both chunking and the final metadata join
     sampled = stratified_sample(gated, rates, default_rate,
                                 strata_col="pred_lang", id_col=id_col,

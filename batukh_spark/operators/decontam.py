@@ -35,8 +35,9 @@ def benchmark_ngrams(benchmark: DataFrame, n: int = N_DECONTAM,
     """Distinct md5'd n-token grams of the benchmark texts —
     (gram_hash).  Tiny: one 32-byte hash per distinct benchmark gram;
     callers broadcast it."""
-    grams = F.array_distinct(word_shingles(tokens_col(text_col), n))
+    grams = F.array_distinct(word_shingles(F.col("__tk"), n))
     return (benchmark
+            .select(tokens_col(text_col).alias("__tk"))
             .select(F.explode(grams).alias("g"))
             .select(F.md5("g").alias("gram_hash"))
             .distinct())
@@ -59,8 +60,10 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     bgrams = benchmark_ngrams(benchmark, n, bench_text_col)
     dgrams = (docs
               .select(F.col(id_col),
+                      tokens_col(text_col).alias("__tk"))
+              .select(F.col(id_col),
                       F.explode(F.array_distinct(
-                          word_shingles(tokens_col(text_col), n)))
+                          word_shingles(F.col("__tk"), n)))
                       .alias("g"))
               .select(F.col(id_col), F.md5("g").alias("gram_hash")))
     hits = (dgrams.join(F.broadcast(bgrams), "gram_hash")

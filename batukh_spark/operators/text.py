@@ -18,7 +18,15 @@ def tokens_col(text: Column | str) -> Column:
 
 
 def word_shingles(tokens: Column, k: int = 3) -> Column:
-    """k-word shingle strings; empty array when fewer than k tokens."""
+    """k-word shingle strings; empty array when fewer than k tokens.
+
+    PASS AN ATTRIBUTE (a materialized column), not the tokens_col()
+    expression tree: the shingle lambda body holds k element_at
+    references to `tokens`, and interpreted higher-order functions
+    re-evaluate free subexpressions PER ELEMENT — with the split tree
+    inlined that is O(k * n) full tokenizations per row (measured as
+    the dominant cost of the whole minhash chain).  Callers project
+    tokens into a column first (see minhash_signature)."""
     n = F.size(tokens)
     idx = F.sequence(F.lit(1), n - F.lit(k - 1))
     join_parts = lambda i: F.concat_ws(  # noqa: E731

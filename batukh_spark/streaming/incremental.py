@@ -194,7 +194,9 @@ def streaming_store_keep_set(spark: SparkSession, source_dir: str,
     df = (stream
           .withColumn("text_hash",
                       F.md5(canonical_text(F.col("text"))))
-          .withColumn("__sh", word_shingles(tokens_col("text"))))
+          .withColumn("__tk", tokens_col("text"))
+          .withColumn("__sh", word_shingles(F.col("__tk")))
+          .drop("__tk"))
     # identical hash family to minhash_signature: min md5("s:" || gram)
     # (one-arg lambda per slot: a two-arg lambda would make transform
     # pass the ELEMENT INDEX as the second argument)
@@ -274,8 +276,10 @@ def streaming_decontaminate(spark: SparkSession, source_dir: str,
                                  F.col("turn_idx").cast("string")))
         dgrams = (keyed
                   .select(F.col("__doc"),
+                          tokens_col("text").alias("__tk"))
+                  .select(F.col("__doc"),
                           F.explode(F.array_distinct(
-                              word_shingles(tokens_col("text"), n)))
+                              word_shingles(F.col("__tk"), n)))
                           .alias("g"))
                   .select(F.col("__doc"), F.md5("g").alias("gram_hash")))
         hits = (dgrams.join(F.broadcast(bgrams), "gram_hash")

@@ -260,12 +260,18 @@ def main() -> int:
             query_samples = {name: [] for name in BENCH_QUERIES}
             # interleaved rounds: each query's reps are separated in
             # time, so per-query medians absorb the host's documented
-            # multi-x weather instead of sampling one moment
+            # multi-x weather instead of sampling one moment.
+            # Forcing is a NOOP-SINK WRITE, not count(): count() prunes
+            # every unreferenced column, so a narrow per-doc query
+            # "measured" a no-op scan (round-3 note; confirmed round 5
+            # when the pruned timings hid a 100x interpreted-HOF cost).
+            # The noop sink materializes every output column.
             for _rnd in range(max(1, SUITE_REPS)):
                 for name in BENCH_QUERIES:
                     fn, _sql = QUERIES[name]
                     t0 = time.time()
-                    fn(spark, SF_DIR).count()
+                    fn(spark, SF_DIR).write.format("noop") \
+                        .mode("overwrite").save()
                     query_samples[name].append(round(time.time() - t0, 3))
             queries.update({n: round(statistics.median(s), 3)
                             for n, s in query_samples.items()})
@@ -278,6 +284,11 @@ def main() -> int:
             "queries": queries,
             "query_samples": query_samples,
             "suite_reps": SUITE_REPS if MODE == "all" else 0,
+            # round-5 change: suite queries are forced via a noop-sink
+            # write (all columns materialize); earlier rounds used
+            # count(), which column-prunes — per-query timings are NOT
+            # comparable across that boundary
+            "suite_forcing": "noop-write",
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             # headline engine metric (BASELINE.md): extracted turns/sec
             "turns_per_sec": ext["turns_per_sec"],
