@@ -373,15 +373,23 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
 
     The per-document fingerprint set identifies near-identical passages
     (MOSS-style); fp_min is a 1-value sketch for cheap equality tests.
-    """
-    grams = char_grams_md5(F.col(text_col), k)
-    n_grams = F.size(grams)
-    mins = _winnow_mins(grams, w)
-    return docs.select(
+
+    Staged projections: the gram-hash array and the winnow-min array
+    are each materialized ONCE as columns — `_winnow_mins`' window
+    lambda slices its gram argument per window, and interpreted HOFs
+    re-evaluate free subtrees per element, so an inlined gram tree
+    would recompute every md5 PER WINDOW (O(n^2))."""
+    pre = docs.select(F.col(id_col),
+                      char_grams_md5(F.col(text_col), k).alias("__grams"))
+    base = pre.select(
         F.col(id_col),
-        n_grams.alias("n_grams"),
-        F.size(mins).alias("n_fingerprints"),
-        F.array_min(mins).alias("fp_min"))
+        F.size("__grams").alias("n_grams"),
+        _winnow_mins(F.col("__grams"), w).alias("__mins"))
+    return base.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.size("__mins").alias("n_fingerprints"),
+        F.array_min("__mins").alias("fp_min"))
 
 
 def _winnow_fps_pos(docs: DataFrame, id_col: str, text_col: str,
