@@ -149,6 +149,14 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
              # upstream candidate-generation DAG (e.g. the full
              # minhash+LSH pipeline) — a per-iteration corpus re-scan
              .localCheckpoint())
+    # empty candidate graph (a fully-distinct corpus): skip the
+    # propagation loop — each round costs fixed shuffle overhead even
+    # over empty inputs, and the edges are already materialized so
+    # this probe is a cheap local scan
+    if not edges.take(1):
+        return edges.select(F.col("src").alias("doc_id"),
+                            F.col("dst").alias("cluster_id"),
+                            F.lit(True).alias("is_keeper"))
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint())
