@@ -259,12 +259,15 @@ def srp_near_dup_pairs(emb: DataFrame, n_bits: int = 32,
     a = vecs.alias("va")
     b = vecs.alias("vb")
     cos = F.round(cosine(F.col("va.e"), F.col("vb.e")), 6)
+    # cos_sim materializes in its own projection before the flag reads
+    # it: referencing the cosine expression twice in one select would
+    # run its three interpreted aggregate folds twice per candidate
     return (cand
             .join(a, cand.id_a == F.col(f"va.{id_col}"))
             .join(b, cand.id_b == F.col(f"vb.{id_col}"))
             .select("id_a", "id_b", "n_shared_bands",
-                    cos.alias("cos_sim"),
-                    (cos > threshold).alias("is_near_dup")))
+                    cos.alias("cos_sim"))
+            .withColumn("is_near_dup", F.col("cos_sim") > threshold))
 
 
 def train_ivf(emb: DataFrame, index_dir: str, n_centroids: int = 8,

@@ -735,11 +735,13 @@ def cosine_near_dup_adjacent(spark, sf):
     a = emb.alias("a")
     b = emb.alias("b")
     cos = F.round(similarity.cosine(F.col("a.e"), F.col("b.e")), 6)
+    # stage cos_sim before the flag reads it (double reference would
+    # run the interpreted cosine folds twice per pair)
     return (a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
             .select(F.col("a.vec_id").alias("id_a"),
                     F.col("b.vec_id").alias("id_b"),
-                    cos.alias("cos_sim"),
-                    (cos > 0.9).alias("is_near_dup")))
+                    cos.alias("cos_sim"))
+            .withColumn("is_near_dup", F.col("cos_sim") > 0.9))
 
 
 COSINE_NEAR_DUP_SQL = """
