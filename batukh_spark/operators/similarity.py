@@ -200,8 +200,15 @@ def srp_signature(emb: DataFrame, n_bits: int = 16, dim: int = 64,
     The signs are baked in as literals, so each bit is a flat codegen'd
     sum of +/- e[i] terms (left-to-right, matching the oracle's
     list_sum order) — no interpreted higher-order functions in the hot
-    path.  Scan-local: computes with zero shuffle."""
-    e = F.col(vec_col).cast("array<double>")
+    path.  Scan-local: computes with zero shuffle.
+
+    The double-cast of the vector is staged into its own projection:
+    the flat sum references e[i] n_bits*dim times, and an inlined
+    cast-tree re-converts the whole array PER TERM (measured 17s ->
+    sub-second for 2k vectors at 32 bits x 64 dims)."""
+    pre = emb.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("__e"))
+    e = F.col("__e")
     bits = []
     for j in range(n_bits):
         acc = None
@@ -209,7 +216,7 @@ def srp_signature(emb: DataFrame, n_bits: int = 16, dim: int = 64,
             term = e.getItem(i) if _srp_sign(j, i) > 0 else -e.getItem(i)
             acc = term if acc is None else acc + term
         bits.append(F.when(acc > 0, "1").otherwise("0"))
-    return emb.select(F.col(id_col), F.concat(*bits).alias("sig"))
+    return pre.select(F.col(id_col), F.concat(*bits).alias("sig"))
 
 
 def srp_candidate_pairs(emb: DataFrame, n_bits: int = 32,

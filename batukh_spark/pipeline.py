@@ -164,7 +164,7 @@ def run_extraction_files(spark: SparkSession, source: str, output: str,
             manifest = _build_manifest(extracted, run_id, t0)
             bio.append_manifest(manifest, metrics)
             summary["units_completed"] = _written_unit_count(
-                spark, metrics, run_id)
+                spark, metrics, run_id, t0)
     finally:
         if metrics:
             extracted.unpersist()
@@ -173,16 +173,25 @@ def run_extraction_files(spark: SparkSession, source: str, output: str,
 
 
 def _written_unit_count(spark: SparkSession, metrics: str,
-                        run_id: str) -> int:
+                        run_id: str, t0: float) -> int:
     """Count committed units by reading back the (tiny) manifest table —
     re-counting the manifest DataFrame would re-execute its whole
-    aggregation DAG over the extracted output a second time."""
+    aggregation DAG over the extracted output a second time.
+
+    Scoped to rows stamped at/after this invocation's start: a resumed
+    run reusing the caller's run_id must report only the units IT
+    completed, not the prior run's rows (the manifest ts comes from
+    current_timestamp(), fixed driver-side at planning, so it is
+    comparable with the driver's t0)."""
     try:
         spark.catalog.refreshByPath(metrics)
     except Exception:
         pass
     m = bio.read_manifest(spark, metrics)
-    return m.filter(F.col("run_id") == run_id).count() if m is not None else 0
+    if m is None:
+        return 0
+    return m.filter((F.col("run_id") == run_id)
+                    & (F.col("ts") >= F.timestamp_seconds(F.lit(t0)))).count()
 
 
 def _build_manifest(written: DataFrame, run_id: str, t0: float) -> DataFrame:
@@ -271,7 +280,7 @@ def run_extraction(spark: SparkSession, source: str | DataFrame,
             manifest = _build_manifest(extracted, run_id, t0)
             bio.append_manifest(manifest, metrics)
             summary["units_completed"] = _written_unit_count(
-                spark, metrics, run_id)
+                spark, metrics, run_id, t0)
     finally:
         if metrics:
             extracted.unpersist()
