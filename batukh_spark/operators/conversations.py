@@ -1,0 +1,66 @@
+"""Conversation-level assembly: extracted turns -> training documents.
+
+The extraction pipeline emits one row per TURN; every downstream
+corpus operator (dedup, quality, sampling, chunking, packing) works on
+DOCUMENTS.  `assemble_conversations` is the bridge: it concatenates a
+conversation's extracted turns, in stable (conv_id, turn_idx) order,
+into one role-tagged training document — the standard chat-transcript
+serialization (`<|role|>` headers, blank-line separated), analogous to
+the reference's map2string assembly of per-line decodings into one
+page string (/root/reference/batukh/tensorflow/utils/utils.py, map2string)
+but at conversation granularity.
+
+Scale: one groupBy(conv_id) shuffle that carries exactly the extracted
+text (the minimum any assembly must move).  Per-group memory is bounded
+by a single conversation's extracted bytes — mega-conversations
+(~2000 turns in the synthetic corpus) are single-digit MB, far under
+executor memory; there is no collect, no window over a global
+ordering, and the aggregation state never exceeds one conversation.
+The sort into turn order happens INSIDE each group's collected array
+(array_sort on (turn_idx, text) structs), so no global sort stage is
+needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assemble_conversations(turns: DataFrame,
+                           id_col: str = "conv_id",
+                           order_col: str = "turn_idx",
+                           role_col: str = "role",
+                           text_col: str = "extracted_text",
+                           sep: str = "\n\n") -> DataFrame:
+    """One training document per conversation.
+
+    Returns (id_col, n_turns, n_bytes, doc_text) where doc_text is the
+    turns in ascending `order_col` order, each rendered as
+    ``<|role|>\\n<text>`` and joined by `sep`; n_bytes is the UTF-8
+    byte length of doc_text (octet_length — byte-exact across engines,
+    unlike code-point counts for non-BMP text).
+
+    Empty extracted turns keep their role tag: a turn that extracted
+    to '' is still a turn the model should see attributed, and
+    dropping it silently would desync turn counts from the manifest.
+    """
+    # coalesce: concat is null-propagating and array_join silently
+    # SKIPS null elements — a null role/text would otherwise drop the
+    # whole turn from the document without any error
+    piece = F.concat(F.lit("<|"), F.coalesce(F.col(role_col), F.lit("")),
+                     F.lit("|>\n"), F.coalesce(F.col(text_col), F.lit("")))
+    # struct sort key = (order_col, piece): order_col is unique within
+    # a conversation, so the piece never participates in ordering —
+    # it just rides along to avoid a second join back for the text
+    agg = turns.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                    piece.alias("p")))).alias("__ps"))
+    doc = F.array_join(F.transform("__ps", lambda s: s["p"]), sep)
+    return agg.select(
+        F.col(id_col),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.octet_length(doc).cast("long").alias("n_bytes"),
+        doc.alias("doc_text"))

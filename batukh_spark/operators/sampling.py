@@ -49,3 +49,82 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     thr = (thr.otherwise(_thr_hex(default_rate)) if thr is not None
            else F.lit(_thr_hex(default_rate)))
     return docs.filter(h < thr)
+
+
+def token_budget_sample(docs: DataFrame, budget: int,
+                        strata_col: str = "lang",
+                        tokens_col: str = "n_tokens",
+                        id_col: str = "doc_id",
+                        salt: str = "budget1") -> DataFrame:
+    """Exact per-stratum token-budget sampling: walk each stratum's
+    documents in deterministic hash order and keep them until the
+    stratum's cumulative token count reaches `budget` (the document
+    that crosses the line is kept, so every non-exhausted stratum ends
+    with >= budget tokens; a stratum smaller than the budget is kept
+    whole).  This is the "N tokens of code, M tokens of wiki" mixture
+    spec a pretraining run actually states — rate-based Bernoulli
+    (`stratified_sample`) can only hit a token budget in expectation,
+    and needs the per-stratum totals up front to even set the rates.
+
+    Returns (id_col, strata_col, tokens_col, tokens_before) where
+    tokens_before is the stratum's token count ahead of this document
+    in the walk order — the caller can trim the boundary document to
+    exactly `budget - tokens_before` tokens if a hard cap matters.
+
+    Deterministic: the walk order is md5(salt || id), so the same
+    corpus + salt keeps the same documents on any cluster, any
+    partitioning, any retry.
+
+    Scale (per-stratum distributed prefix sum — same shape as
+    pack_sequences, never a per-stratum SinglePartition window):
+    only (stratum, id, n_tokens, hash) tuples flow through the math;
+      1. range-repartition + sort by (stratum, hash, id), materialized
+         once (localCheckpoint) so the partition ids seen by the
+         totals job and the output job are identical;
+      2. per-(partition, stratum) running sum via a window keyed on
+         the PHYSICAL partition id — every window group lives inside
+         one partition by construction, so the exchange the window
+         would otherwise add is a no-op over the pinned partitioning;
+      3. per-(partition, stratum) totals (<= partitions x strata rows)
+         collect to the driver — the same k-row planning-collect class
+         as the IVF codebook — and come back as a broadcast offsets
+         join keyed null-safe on (partition, stratum).
+    The keep verdict depends only on the total (hash, id) order within
+    the stratum, not on where range partitioning drew its boundaries.
+    """
+    from pyspark.sql import Window
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spark = docs.sparkSession
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    slim = docs.select(F.col(strata_col).alias("__s"), F.col(id_col),
+                       F.col(tokens_col).cast("long").alias("__n"),
+                       h.alias("__h"))
+    n_parts = spark.sparkContext.defaultParallelism
+    ordered = (slim.repartitionByRange(n_parts, "__s", "__h", id_col)
+               .sortWithinPartitions("__s", "__h", id_col)
+               .withColumn("__part", F.spark_partition_id())
+               .localCheckpoint())
+    w = (Window.partitionBy("__part", "__s").orderBy("__h", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = ordered.withColumn(
+        "__local", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    totals = (ordered.groupBy("__part", "__s")
+              .agg(F.sum("__n").alias("__tot")).collect())
+    acc: dict = {}
+    rows = []
+    for r in sorted(totals, key=lambda r: ((r["__s"] is None, r["__s"]),
+                                           r["__part"])):
+        rows.append((r["__part"], r["__s"], acc.get(r["__s"], 0)))
+        acc[r["__s"]] = acc.get(r["__s"], 0) + r["__tot"]
+    odf = spark.createDataFrame(rows or [(0, None, 0)],
+                                "__opart int, __os string, __off long")
+    joined = local.join(
+        F.broadcast(odf),
+        (local["__part"] == odf["__opart"])
+        & local["__s"].eqNullSafe(odf["__os"]))
+    before = (F.col("__off") + F.col("__local")).cast("long")
+    return (joined.filter(before < F.lit(int(budget)))
+            .select(F.col(id_col), F.col("__s").alias(strata_col),
+                    F.col("__n").alias(tokens_col),
+                    before.alias("tokens_before")))

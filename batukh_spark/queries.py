@@ -2250,6 +2250,58 @@ group by seq_id
 # ---------------------------------------------------------------------------
 # registry
 
+def conversation_docs_q(spark, sf):
+    """Conversation assembly: the flagship extraction's per-turn output
+    re-serialized into one role-tagged training document per
+    conversation (operators/conversations.py) — the bridge from the
+    turn-level pipeline to every document-level corpus operator.  The
+    oracle composes string_agg(.. ORDER BY turn_idx) over the same
+    closed-form extracted texts."""
+    from batukh_spark.operators.conversations import assemble_conversations
+    return assemble_conversations(extract_transcripts(spark, sf))
+
+
+CONVERSATION_DOCS_SQL = (
+    "with base as (" + EXTRACT_TRANSCRIPTS_SQL + """)
+select conv_id, n_turns, strlen(doc_text)::bigint as n_bytes, doc_text
+from (
+  select conv_id, count(*)::bigint as n_turns,
+         string_agg('<|' || role || '|>' || chr(10) || extracted_text,
+                    chr(10) || chr(10) order by turn_idx) as doc_text
+  from base group by conv_id
+)
+""")
+
+
+def token_budget_sample_q(spark, sf):
+    """Exact token-budget mixture sampling: per-language, keep
+    documents in deterministic md5 walk order until 2000 tokens are
+    covered (operators/sampling.py token_budget_sample — per-stratum
+    distributed prefix sum, no SinglePartition window).  The oracle is
+    the same walk as a per-stratum SQL window cumsum."""
+    from batukh_spark.operators.sampling import token_budget_sample
+    from batukh_spark.operators.text import tokens_col
+    docs = t(spark, sf, "documents").select(
+        "doc_id", "lang",
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"))
+    return token_budget_sample(docs, budget=2000)
+
+
+TOKEN_BUDGET_SQL = _DOCSTATS_CTE + """
+, o as (
+  select d.doc_id, d.lang, st.nw,
+         coalesce(sum(st.nw) over (
+             partition by d.lang
+             order by md5('budget1:' || d.doc_id::varchar), d.doc_id
+             rows between unbounded preceding and 1 preceding),
+           0)::bigint as tokens_before
+  from st join documents d on st.doc_id = d.doc_id
+)
+select doc_id, lang, nw::bigint as n_tokens, tokens_before
+from o where tokens_before < 2000
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -2299,6 +2351,8 @@ QUERIES = {
     "passage_excision": (passage_excision_q, PASSAGE_EXCISION_SQL),
     "media_features": (media_features_q, MEDIA_SQL),
     "video_frame_sample": (video_frame_sample_q, VIDEO_FRAME_SQL),
+    "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
+    "token_budget_sample": (token_budget_sample_q, TOKEN_BUDGET_SQL),
     # flagship extraction kernels over SQL-templated payloads
     "extract_transcripts": (extract_transcripts, EXTRACT_TRANSCRIPTS_SQL),
     "html_block_kinds": (html_block_kinds, HTML_BLOCK_KINDS_SQL),

@@ -1,0 +1,111 @@
+"""Conversation assembly + token-budget sampling (round-5 depth ops)."""
+
+import pytest
+
+from batukh_spark.operators.conversations import assemble_conversations
+from batukh_spark.operators.sampling import token_budget_sample
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+              "extracted_text string")
+
+
+def test_assemble_orders_and_tags(spark):
+    # rows arrive deliberately out of turn order and interleaved
+    df = _turns(spark, [
+        ("c1", 2, "assistant", "final answer"),
+        ("c2", 0, "user", "other conv"),
+        ("c1", 0, "user", "question"),
+        ("c1", 1, "tool", "RESULT ok"),
+    ])
+    out = {r.conv_id: r for r in assemble_conversations(df).collect()}
+    assert out["c1"].doc_text == (
+        "<|user|>\nquestion\n\n<|tool|>\nRESULT ok\n\n"
+        "<|assistant|>\nfinal answer")
+    assert out["c1"].n_turns == 3
+    assert out["c2"].doc_text == "<|user|>\nother conv"
+    assert out["c2"].n_turns == 1
+
+
+def test_assemble_keeps_empty_and_null_turns(spark):
+    # '' and NULL extracted texts must keep their role tag — array_join
+    # silently drops null elements, which would desync turn counts
+    df = _turns(spark, [
+        ("c1", 0, "user", ""),
+        ("c1", 1, None, None),
+        ("c1", 2, "assistant", "x"),
+    ])
+    r = assemble_conversations(df).collect()[0]
+    assert r.n_turns == 3
+    assert r.doc_text == "<|user|>\n\n\n<||>\n\n\n<|assistant|>\nx"
+
+
+def test_assemble_n_bytes_is_utf8_octets(spark):
+    df = _turns(spark, [("c1", 0, "user", "你好")])
+    r = assemble_conversations(df).collect()[0]
+    assert r.doc_text == "<|user|>\n你好"
+    assert r.n_bytes == len(r.doc_text.encode("utf-8"))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long")
+
+
+def test_token_budget_exact_boundary(spark):
+    # single stratum, 10 docs x 100 tokens, budget 250: the walk keeps
+    # docs while tokens_before < 250 -> exactly 3 docs (0/100/200),
+    # and the crossing doc is kept
+    df = _docs(spark, [(i, "en", 100) for i in range(10)])
+    out = token_budget_sample(df, budget=250).collect()
+    assert len(out) == 3
+    assert sorted(r.tokens_before for r in out) == [0, 100, 200]
+    total = sum(r.n_tokens for r in out)
+    assert total >= 250 and total - min(r.n_tokens for r in out) < 250
+
+
+def test_token_budget_small_stratum_kept_whole(spark):
+    df = _docs(spark, [(1, "fr", 7), (2, "fr", 9),
+                       (3, "en", 5000), (4, "en", 5000)])
+    out = token_budget_sample(df, budget=1000).collect()
+    fr = [r for r in out if r.lang == "fr"]
+    en = [r for r in out if r.lang == "en"]
+    assert len(fr) == 2                      # under budget: all kept
+    assert len(en) == 1                      # first doc crosses 1000
+    assert en[0].tokens_before == 0
+
+
+def test_token_budget_partitioning_invariant(spark):
+    # the keep verdict depends only on the (hash, id) walk order, not
+    # on how the input happens to be partitioned
+    rows = [(i, ["en", "de", "zh"][i % 3], 10 + i % 7) for i in range(60)]
+    a = token_budget_sample(_docs(spark, rows).coalesce(1), budget=120)
+    b = token_budget_sample(_docs(spark, rows).repartition(13), budget=120)
+    ka = sorted((r.doc_id, r.tokens_before) for r in a.collect())
+    kb = sorted((r.doc_id, r.tokens_before) for r in b.collect())
+    assert ka == kb and len(ka) > 0
+
+
+def test_token_budget_null_stratum_and_validation(spark):
+    df = _docs(spark, [(1, None, 50), (2, None, 60), (3, "en", 10)])
+    out = token_budget_sample(df, budget=55).collect()
+    nulls = sorted(r.doc_id for r in out if r.lang is None)
+    assert len(nulls) in (1, 2)  # walk order is hash-determined
+    # crossing-doc rule: tokens_before of every kept null-stratum row < 55
+    assert all(r.tokens_before < 55 for r in out)
+    assert [r.doc_id for r in out if r.lang == "en"] == [3]
+    with pytest.raises(ValueError):
+        token_budget_sample(df, budget=0)
+
+
+def test_token_budget_plan_has_no_global_window(spark):
+    """Per-stratum prefix sum must never serialize onto one partition:
+    the window exchange is keyed on the physical-partition id."""
+    df = _docs(spark, [(i, "en", 10) for i in range(40)])
+    out = token_budget_sample(df, budget=200)
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in physical
+    assert "SinglePartition" not in physical
+    assert "hashpartitioning(__part" in physical
