@@ -277,3 +277,52 @@ def char_grams_md5(text: Column | str, k: int = 8) -> Column:
     return F.when(n >= k, F.transform(
         idx, lambda i: F.md5(F.substring(c, i.cast("int"), F.lit(k))))) \
         .otherwise(F.array().cast("array<string>"))
+
+
+def epoch_order(rows, epoch: int, id_col: str = "seq_id",
+                salt: str = "epoch"):
+    """Deterministic per-epoch training order: assigns every row a
+    dense global rank [0, n) in md5(salt || epoch || id) order — the
+    "reshuffle the corpus each epoch" step of a training pipeline,
+    with properties a distributed run needs:
+
+    - deterministic: same rows + epoch -> the same permutation on any
+      cluster, any partitioning, any retry (resumable mid-epoch by
+      rank range, no RNG state);
+    - independent across epochs: the hash reseeds per epoch, so epoch
+      k+1's order is uncorrelated with epoch k's;
+    - scale: the rank math touches only (id, hash) pairs — callers
+      join the rank back by id, so row payloads never flow through
+      the ordering.  Global rank uses the distributed prefix shape of
+      pack_sequences (range partition + partition-keyed row_number +
+      k-row offsets broadcast), never a SinglePartition window.
+
+    Returns (id_col, epoch_rank).
+    """
+    from pyspark.sql import Window
+    spark = rows.sparkSession
+    h = F.md5(F.concat(F.lit(f"{salt}{int(epoch)}:"),
+                       F.col(id_col).cast("string")))
+    slim = rows.select(F.col(id_col), h.alias("__h"))
+    n_parts = spark.sparkContext.defaultParallelism
+    ordered = (slim.repartitionByRange(n_parts, "__h", id_col)
+               .sortWithinPartitions("__h", id_col)
+               .withColumn("__part", F.spark_partition_id())
+               .localCheckpoint())
+    w = Window.partitionBy("__part").orderBy("__h", id_col)
+    local = ordered.withColumn("__local",
+                               F.row_number().over(w) - F.lit(1))
+    totals = sorted(ordered.groupBy("__part").count().collect(),
+                    key=lambda r: r["__part"])
+    offsets, off = [], 0
+    for r in totals:
+        offsets.append((r["__part"], off))
+        off += r["count"]
+    odf = spark.createDataFrame(offsets or [(0, 0)],
+                                "__opart int, __off long")
+    joined = local.join(F.broadcast(odf),
+                        local["__part"] == odf["__opart"])
+    return joined.select(
+        F.col(id_col),
+        (F.col("__off") + F.col("__local")).cast("long")
+        .alias("epoch_rank"))

@@ -1389,7 +1389,9 @@ def packed_sequences_q(spark, sf):
     return assemble_sequences(chunks, seq_len=256)
 
 
-PACKED_SEQUENCES_SQL = "with " + _chunk_sql("documents") + """
+# shared concat-and-split piece layout (prefix sum + boundary split),
+# composed by the packed_sequences and epoch_order oracles
+_PACK_PIECES_CTE = """
 , g as (
   select doc_id, chunk_idx, n_tokens, chunk_text,
          coalesce(sum(n_tokens) over (
@@ -1406,6 +1408,10 @@ PACKED_SEQUENCES_SQL = "with " + _chunk_sql("documents") + """
   from g, unnest(generate_series(gstart // 256,
                                  (gstart + n_tokens - 1) // 256)) as t(s)
 )
+"""
+
+PACKED_SEQUENCES_SQL = ("with " + _chunk_sql("documents")
+                        + _PACK_PIECES_CTE) + """
 select seq_id,
        sum(tok_end - tok_begin)::bigint as n_tokens,
        string_agg(array_to_string(
@@ -2250,6 +2256,40 @@ group by seq_id
 # ---------------------------------------------------------------------------
 # registry
 
+def epoch_order_q(spark, sf):
+    """Deterministic epoch-7 training order over the packed training
+    sequences: a dense global rank in per-epoch md5 order
+    (operators/text.py epoch_order — distributed prefix rank, math on
+    ids only, payload joined back by key).  The oracle composes the
+    packing CTE with row_number() over the same md5 order."""
+    from batukh_spark.operators.text import (chunk_documents,
+                                             epoch_order,
+                                             pack_sequences)
+    chunks = chunk_documents(t_spread(spark, sf, "documents"),
+                             max_tokens=64, overlap=8)
+    seqs = (pack_sequences(chunks, seq_len=256)
+            .groupBy("seq_id")
+            .agg(F.sum(F.col("tok_end") - F.col("tok_begin"))
+                 .cast("long").alias("n_tokens")))
+    ranks = epoch_order(seqs, epoch=7)
+    return seqs.join(ranks, "seq_id").select(
+        "seq_id", "n_tokens", "epoch_rank")
+
+
+EPOCH_ORDER_SQL = ("with " + _chunk_sql("documents")
+                   + _PACK_PIECES_CTE) + """
+, seqs as (
+  select seq_id, sum(tok_end - tok_begin)::bigint as n_tokens
+  from pieces group by seq_id
+)
+select seq_id, n_tokens,
+       (row_number() over (
+          order by md5('epoch7:' || seq_id::varchar), seq_id)
+        - 1)::bigint as epoch_rank
+from seqs
+"""
+
+
 def conversation_docs_q(spark, sf):
     """Conversation assembly: the flagship extraction's per-turn output
     re-serialized into one role-tagged training document per
@@ -2353,6 +2393,7 @@ QUERIES = {
     "video_frame_sample": (video_frame_sample_q, VIDEO_FRAME_SQL),
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
     "token_budget_sample": (token_budget_sample_q, TOKEN_BUDGET_SQL),
+    "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     # flagship extraction kernels over SQL-templated payloads
     "extract_transcripts": (extract_transcripts, EXTRACT_TRANSCRIPTS_SQL),
     "html_block_kinds": (html_block_kinds, HTML_BLOCK_KINDS_SQL),

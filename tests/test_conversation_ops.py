@@ -109,3 +109,33 @@ def test_token_budget_plan_has_no_global_window(spark):
     assert "Window" in physical
     assert "SinglePartition" not in physical
     assert "hashpartitioning(__part" in physical
+
+
+def test_epoch_order_is_dense_permutation(spark):
+    from batukh_spark.operators.text import epoch_order
+    df = spark.createDataFrame([(i,) for i in range(97)], "seq_id long")
+    out = epoch_order(df, epoch=1).collect()
+    assert sorted(r.epoch_rank for r in out) == list(range(97))
+    # deterministic under any input partitioning
+    out2 = epoch_order(df.repartition(11), epoch=1).collect()
+    assert {r.seq_id: r.epoch_rank for r in out} == \
+           {r.seq_id: r.epoch_rank for r in out2}
+
+
+def test_epoch_order_reseeds_per_epoch(spark):
+    from batukh_spark.operators.text import epoch_order
+    df = spark.createDataFrame([(i,) for i in range(50)], "seq_id long")
+    e1 = {r.seq_id: r.epoch_rank for r in epoch_order(df, 1).collect()}
+    e2 = {r.seq_id: r.epoch_rank for r in epoch_order(df, 2).collect()}
+    assert e1 != e2
+    assert sorted(e2.values()) == list(range(50))
+
+
+def test_epoch_order_plan_has_no_global_window(spark):
+    from batukh_spark.operators.text import epoch_order
+    df = spark.createDataFrame([(i,) for i in range(40)], "seq_id long")
+    physical = (epoch_order(df, 3)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" in physical
+    assert "SinglePartition" not in physical
+    assert "hashpartitioning(__part" in physical
