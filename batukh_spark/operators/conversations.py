@@ -64,3 +64,37 @@ def assemble_conversations(turns: DataFrame,
         F.col("n_turns").cast("long").alias("n_turns"),
         F.octet_length(doc).cast("long").alias("n_bytes"),
         doc.alias("doc_text"))
+
+
+def boilerplate_turns(turns: DataFrame, min_convs: int = 3,
+                      id_col: str = "conv_id",
+                      text_col: str = "extracted_text") -> DataFrame:
+    """Flag turns whose extracted text repeats verbatim across many
+    conversations — canned greetings, tool banners, template
+    disclaimers.  Cross-conversation repetition is the transcript
+    analogue of document boilerplate: a turn appearing in `min_convs`+
+    distinct conversations carries no per-conversation signal and
+    inflates n-gram counts downstream.
+
+    Returns the input columns plus (n_convs, is_boilerplate), where
+    n_convs counts distinct conversations sharing this turn's exact
+    text.
+
+    Scale: stats are keyed on md5(text) — the distinct-count shuffle
+    carries (32B hash, conv_id) pairs, never the text; the flag joins
+    back on the same 32B key.  True boilerplate is by definition a hot
+    key (one hash held by millions of conversations) — the distinct
+    count is a two-level hash aggregation with map-side partials, and
+    AQE's skew handling splits the reduce side; if only the FLAG is
+    needed downstream, filter the stats to n_convs >= min_convs first
+    (a tiny relation) and broadcast it instead of the full join.
+    """
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    keyed = turns.withColumn("__h", h)
+    stats = (keyed.groupBy("__h")
+             .agg(F.count_distinct(F.col(id_col)).alias("n_convs")))
+    return (keyed.join(stats, "__h")
+            .drop("__h")
+            .withColumn("n_convs", F.col("n_convs").cast("long"))
+            .withColumn("is_boilerplate",
+                        F.col("n_convs") >= F.lit(int(min_convs))))

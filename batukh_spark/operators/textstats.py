@@ -539,3 +539,57 @@ def fingerprint_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("n_shared_fps")))
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-unigram log-probability score — the CCNet/KenLM-style
+    perplexity proxy a pretraining pipeline uses to rank documents by
+    "how much does this look like the corpus" (gibberish and boiler
+    garbage score far below fluent text, in any language, with no
+    model artifact to ship).
+
+    score(d) = sum_t ln(c_t) - n_d * ln(N)   (= sum_t ln(c_t / N))
+
+    with c_t the corpus count of token t and N the corpus token total,
+    i.e. the total unigram log-likelihood of the document; divide by
+    n_tokens for the per-token mean.
+
+    Returns (id_col, n_tokens, logprob_micro): the score in integer
+    MICRO-NATS (round(ln(c)*1e6) summed as bigints).  Quantizing each
+    per-token term to an integer before any sum is the repo's standard
+    float-oracle trick: integer sums are order-independent, so the
+    result is bit-identical on any engine, any partitioning — a float
+    sum of ln's would differ by accumulation order.
+
+    Scale: two aggregations — the vocab count (map-side partials over
+    (token) keys; the natural-language head is Zipf-hot but partials
+    collapse it before the shuffle) and the per-doc sum (keyed on
+    id_col).  The token->count join shuffles (token, doc_id) pairs,
+    never document text.  The corpus total N is a 1-row planning
+    collect off the (materialized) vocab.  Empty documents survive
+    with n_tokens = 0, score 0.
+    """
+    import math
+
+    tok = (docs
+           .select(F.col(id_col),
+                   F.explode(tokens_col(text_col)).alias("__t")))
+    vocab = (tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+             .localCheckpoint())
+    total = vocab.agg(F.sum("__c")).collect()[0][0] or 0
+    ln_n_micro = round(math.log(total) * 1e6) if total > 0 else 0
+    lq = F.round(F.log(F.col("__c").cast("double")) * 1e6, 0).cast("long")
+    per_doc = (tok.join(vocab.select("__t", lq.alias("__lq")), "__t")
+               .groupBy(F.col(id_col))
+               .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                    F.sum("__lq").alias("__slq")))
+    return (docs.select(F.col(id_col)).distinct()
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce(
+                        F.col("__slq")
+                        - F.col("n_tokens") * F.lit(ln_n_micro),
+                        F.lit(0)).cast("long").alias("logprob_micro")))

@@ -2290,6 +2290,81 @@ from seqs
 """
 
 
+def unigram_logprob_q(spark, sf):
+    """Corpus-unigram log-likelihood (CCNet-style perplexity proxy) in
+    integer micro-nats — per-token terms quantized before summation so
+    the score is bit-identical across engines and partitionings
+    (operators/textstats.py unigram_logprob)."""
+    return textstats.unigram_logprob(t_spread(spark, sf, "documents"))
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+with toks as (
+  select doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) as token
+  from documents
+), v as (
+  select token, count(*)::bigint as c from toks group by token
+), tot as (
+  select sum(c)::bigint as n from v
+), d as (
+  select t.doc_id, count(*)::bigint as n_tokens,
+         sum(round(ln(v.c) * 1000000)::bigint)::bigint as slq
+  from toks t join v using (token) group by t.doc_id
+)
+select doc.doc_id,
+       coalesce(d.n_tokens, 0)::bigint as n_tokens,
+       coalesce(d.slq - d.n_tokens *
+                (select round(ln(n) * 1000000)::bigint from tot),
+                0)::bigint as logprob_micro
+from documents doc left join d on doc.doc_id = d.doc_id
+"""
+
+
+_GREETING = "Hello! How can I help you today?"
+
+
+def boilerplate_turns_q(spark, sf):
+    """Cross-conversation boilerplate turns: the flagship extraction's
+    turns plus a planted canned greeting on every third conversation;
+    a turn repeated verbatim in >= 3 distinct conversations is flagged
+    (operators/conversations.py boilerplate_turns — md5-keyed distinct
+    count, text never shuffles)."""
+    from batukh_spark.operators.conversations import boilerplate_turns
+    docs = t_spread(spark, sf, "documents")
+    turns = extract_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "extracted_text")
+    greet = docs.filter((F.col("doc_id") % 3) == 0).select(
+        F.concat(F.lit("c"), F.col("doc_id").cast("string"))
+        .alias("conv_id"),
+        F.lit(3).alias("turn_idx"),
+        F.lit(_GREETING).alias("extracted_text"))
+    # localCheckpoint: the turns feed BOTH the stats aggregation and
+    # the flag join — without the barrier the extraction kernel would
+    # re-run once per consumer (the training_mix re-traversal lesson)
+    allt = turns.unionByName(greet).localCheckpoint()
+    return boilerplate_turns(allt, min_convs=3).select(
+        "conv_id", "turn_idx", "n_convs", "is_boilerplate")
+
+
+BOILERPLATE_TURNS_SQL = (
+    "with base as (" + EXTRACT_TRANSCRIPTS_SQL + """)
+, tt as (
+  select conv_id, turn_idx, extracted_text from base
+  union all
+  select 'c' || doc_id, 3, '""" + _GREETING + """'
+  from documents where doc_id % 3 = 0
+), s as (
+  select extracted_text, count(distinct conv_id) as n_convs
+  from tt group by extracted_text
+)
+select tt.conv_id, tt.turn_idx, s.n_convs::bigint as n_convs,
+       s.n_convs >= 3 as is_boilerplate
+from tt join s using (extracted_text)
+""")
+
+
 def conversation_docs_q(spark, sf):
     """Conversation assembly: the flagship extraction's per-turn output
     re-serialized into one role-tagged training document per
@@ -2394,6 +2469,8 @@ QUERIES = {
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
     "token_budget_sample": (token_budget_sample_q, TOKEN_BUDGET_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
+    "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
+    "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),
     # flagship extraction kernels over SQL-templated payloads
     "extract_transcripts": (extract_transcripts, EXTRACT_TRANSCRIPTS_SQL),
     "html_block_kinds": (html_block_kinds, HTML_BLOCK_KINDS_SQL),

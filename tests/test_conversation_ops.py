@@ -139,3 +139,40 @@ def test_epoch_order_plan_has_no_global_window(spark):
     assert "Window" in physical
     assert "SinglePartition" not in physical
     assert "hashpartitioning(__part" in physical
+
+
+def test_boilerplate_turns_flags_cross_conv_repeats(spark):
+    from batukh_spark.operators.conversations import boilerplate_turns
+    rows = ([(f"c{i}", 0, "assistant", "canned greeting")
+             for i in range(4)]
+            + [("c0", 1, "user", "unique q"),
+               ("c1", 1, "user", "repeated in one conv"),
+               ("c1", 2, "user", "repeated in one conv")])
+    df = _turns(spark, rows)
+    out = {(r.conv_id, r.turn_idx): r
+           for r in boilerplate_turns(df, min_convs=3).collect()}
+    assert out[("c2", 0)].is_boilerplate and out[("c2", 0)].n_convs == 4
+    assert not out[("c0", 1)].is_boilerplate
+    # same text twice in ONE conversation counts one distinct conv
+    assert out[("c1", 1)].n_convs == 1
+    assert not out[("c1", 2)].is_boilerplate
+
+
+def test_unigram_logprob_exact_micro_nats(spark):
+    import math
+    from batukh_spark.operators.textstats import unigram_logprob
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    # corpus: a=3, b=1, c=1, N=5
+    q = lambda c: round(math.log(c) * 1e6)  # noqa: E731
+    n5 = q(5)
+    assert out[1].n_tokens == 3
+    assert out[1].logprob_micro == 2 * q(3) + q(1) - 3 * n5
+    assert out[2].logprob_micro == q(3) + q(1) - 2 * n5
+    # empty doc survives the left join with zeros
+    assert out[3].n_tokens == 0 and out[3].logprob_micro == 0
+    # fluent text outscores rare-token text per token
+    assert (out[1].logprob_micro / out[1].n_tokens
+            > out[2].logprob_micro / out[2].n_tokens)
