@@ -45,11 +45,13 @@ def main(argv=None) -> int:
                         "max_to_keep analogue)")
     p.add_argument("--parallelism", type=int, default=None,
                    help="local[N] cores (ignored on a real cluster)")
-    p.add_argument("--job", choices=["extract", "mix", "batches"],
+    p.add_argument("--job",
+                   choices=["extract", "mix", "batches", "convdocs"],
                    default="extract",
                    help="extract (default) | mix (training-chunk rows "
                         "from an extraction output) | batches (packed "
-                        "fixed-length training rows)")
+                        "fixed-length training rows) | convdocs (one "
+                        "role-tagged training document per conversation)")
     p.add_argument("--rates", default="{}",
                    help='JSON lang->sampling-rate for the mix, e.g. '
                         '\'{"en": 0.5}\'')
@@ -110,7 +112,9 @@ def _read_table(spark, ident: str):
 
 def _run_training_job(spark, args) -> dict:
     """mix/batches over an extraction output: every extracted turn is a
-    document (doc_id = conv_id#turn_idx, text = extracted_text)."""
+    document (doc_id = conv_id#turn_idx, text = extracted_text);
+    convdocs assembles the turns back into one role-tagged document
+    per conversation instead."""
     import time
 
     from pyspark.sql import functions as F
@@ -120,6 +124,13 @@ def _run_training_job(spark, args) -> dict:
 
     t0 = time.time()
     ext = _read_table(spark, args.input)
+    if args.job == "convdocs":
+        from batukh_spark.operators.conversations import (
+            assemble_conversations)
+        out = assemble_conversations(ext)
+        n_rows = _write_table(spark, out, args.output)
+        return {"job": args.job, "rows_out": n_rows,
+                "wall_s": time.time() - t0}
     docs = ext.select(
         F.concat_ws("#", F.col("conv_id"),
                     F.col("turn_idx").cast("string")).alias("doc_id"),
@@ -133,16 +144,19 @@ def _run_training_job(spark, args) -> dict:
         benchmark=bench, keep_unknown_lang=args.keep_unknown_lang)
     out = (mixed if args.job == "mix"
            else assemble_sequences(mixed, seq_len=args.seq_len))
-    from batukh_spark.sources.io import _is_catalog_table
-    if _is_catalog_table(spark, args.output):
-        out.writeTo(args.output).createOrReplace()
-        n_rows = spark.read.table(args.output).count()
-    else:
-        out.write.mode("overwrite").parquet(args.output)
-        n_rows = spark.read.parquet(args.output).count()
+    n_rows = _write_table(spark, out, args.output)
     return {"job": args.job, "rows_out": n_rows,
             "decontaminated": bool(args.benchmark),
             "wall_s": time.time() - t0}
+
+
+def _write_table(spark, out, target: str) -> int:
+    from batukh_spark.sources.io import _is_catalog_table
+    if _is_catalog_table(spark, target):
+        out.writeTo(target).createOrReplace()
+        return spark.read.table(target).count()
+    out.write.mode("overwrite").parquet(target)
+    return spark.read.parquet(target).count()
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,6 +64,54 @@ def assemble_conversations(turns: DataFrame,
         F.col("n_turns").cast("long").alias("n_turns"),
         F.octet_length(doc).cast("long").alias("n_bytes"),
         doc.alias("doc_text"))
+
+
+def loss_mask_spans(turns: DataFrame,
+                    train_roles: tuple[str, ...] = ("assistant",),
+                    id_col: str = "conv_id",
+                    order_col: str = "turn_idx",
+                    role_col: str = "role",
+                    text_col: str = "extracted_text",
+                    sep: str = "\n\n") -> DataFrame:
+    """Loss-mask spans for assistant-only training: for each turn whose
+    role is in `train_roles`, the [span_start, span_end) BYTE offsets
+    of its extracted text inside the `assemble_conversations` document
+    with the same parameters — the role header (``<|role|>\\n``) and
+    the separators are serialization, not supervision, so they fall
+    outside every span.  A trainer masks loss to these spans; byte
+    offsets (not code points) are what a byte-level tokenizer slices,
+    and octet_length is byte-exact across engines for any UTF-8 text.
+
+    Returns (id_col, order_col, role, span_start, span_end), one row
+    per trainable turn.  A trainable turn that extracted to '' yields
+    an empty span (start == end) rather than disappearing — span
+    count stays in lockstep with the turn manifest.
+
+    Scale: piece lengths are computed scan-local; the running offset
+    is a window over (id_col ORDER BY order_col) — doc-keyed and
+    hash-partitioned (never SinglePartition), carrying only
+    (ids, role, two ints); document text never shuffles.
+    """
+    role_ = F.coalesce(F.col(role_col), F.lit(""))
+    text_ = F.coalesce(F.col(text_col), F.lit(""))
+    header = F.concat(F.lit("<|"), role_, F.lit("|>\n"))
+    slim = turns.select(
+        F.col(id_col), F.col(order_col), role_.alias("role"),
+        F.octet_length(header).cast("long").alias("__hlen"),
+        (F.octet_length(header) + F.octet_length(text_))
+        .cast("long").alias("__plen"))
+    w = (Window.partitionBy(id_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    sep_b = len(sep.encode("utf-8"))
+    off = F.coalesce(F.sum(F.col("__plen") + F.lit(sep_b)).over(w),
+                     F.lit(0))
+    return (slim.withColumn("__off", off)
+            .filter(F.col("role").isin(*train_roles))
+            .select(F.col(id_col), F.col(order_col), F.col("role"),
+                    (F.col("__off") + F.col("__hlen")).cast("long")
+                    .alias("span_start"),
+                    (F.col("__off") + F.col("__plen")).cast("long")
+                    .alias("span_end")))
 
 
 def boilerplate_turns(turns: DataFrame, min_convs: int = 3,

@@ -46,7 +46,23 @@ def test_cli_extract_mix_batches(tmp_path):
                "--parallelism", "8"])
     assert s2["job"] == "batches" and s2["rows_out"] > 0
 
+    convdocs = str(tmp_path / "convdocs")
+    s3 = _run(["--job", "convdocs", "--input", ext, "--output", convdocs,
+               "--parallelism", "8"])
+    assert s3["job"] == "convdocs" and s3["rows_out"] > 0
+
     con = duckdb.connect()
+    # convdocs: one row per conversation, n_turns sums to the turn count
+    n_convs, n_turns = con.execute(
+        f"select count(distinct conv_id), count(*) from "
+        f"read_parquet('{ext}/*/*.parquet')").fetchone()
+    got_convs, got_turns = con.execute(
+        f"select count(*), sum(n_turns) from "
+        f"read_parquet('{convdocs}/*.parquet')").fetchone()
+    assert (got_convs, got_turns) == (n_convs, n_turns)
+    assert con.execute(
+        f"select count(*) from read_parquet('{convdocs}/*.parquet') "
+        f"where doc_text not like '<|%'").fetchone()[0] == 0
     cols = {c[0] for c in con.execute(
         f"describe select * from read_parquet('{mix}/*.parquet')"
     ).fetchall()}
