@@ -2388,6 +2388,40 @@ from (
 """)
 
 
+def loss_mask_spans_q(spark, sf):
+    """Assistant-only loss-mask spans: [start, end) byte offsets of
+    each assistant turn's extracted text inside the assembled
+    conversation document (operators/conversations.py loss_mask_spans
+    — scan-local piece lengths, doc-keyed window offset sum; document
+    text never shuffles).  The oracle replays the same byte
+    arithmetic with strlen + a per-conversation window cumsum."""
+    from batukh_spark.operators.conversations import loss_mask_spans
+    return loss_mask_spans(extract_transcripts(spark, sf))
+
+
+LOSS_MASK_SPANS_SQL = (
+    "with base as (" + EXTRACT_TRANSCRIPTS_SQL + """)
+, p as (
+  select conv_id, turn_idx, role,
+         strlen('<|' || role || '|>') + 1 as hlen,
+         strlen('<|' || role || '|>' || chr(10) || extracted_text)
+           as plen
+  from base
+), o as (
+  select conv_id, turn_idx, role, hlen, plen,
+         coalesce(sum(plen + 2) over (
+             partition by conv_id order by turn_idx
+             rows between unbounded preceding and 1 preceding),
+           0) as off
+  from p
+)
+select conv_id, turn_idx, role,
+       (off + hlen)::bigint as span_start,
+       (off + plen)::bigint as span_end
+from o where role = 'assistant'
+""")
+
+
 def token_budget_sample_q(spark, sf):
     """Exact token-budget mixture sampling: per-language, keep
     documents in deterministic md5 walk order until 2000 tokens are
@@ -2467,6 +2501,7 @@ QUERIES = {
     "media_features": (media_features_q, MEDIA_SQL),
     "video_frame_sample": (video_frame_sample_q, VIDEO_FRAME_SQL),
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
+    "loss_mask_spans": (loss_mask_spans_q, LOSS_MASK_SPANS_SQL),
     "token_budget_sample": (token_budget_sample_q, TOKEN_BUDGET_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),

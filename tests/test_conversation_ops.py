@@ -176,3 +176,39 @@ def test_unigram_logprob_exact_micro_nats(spark):
     # fluent text outscores rare-token text per token
     assert (out[1].logprob_micro / out[1].n_tokens
             > out[2].logprob_micro / out[2].n_tokens)
+
+
+def test_loss_mask_spans_reconstruct_bytes(spark):
+    # byte-slicing doc_text at each span must recover EXACTLY the
+    # trainable turn's text — including non-ASCII, where byte and
+    # code-point offsets diverge
+    from batukh_spark.operators.conversations import loss_mask_spans
+    rows = [
+        ("c1", 0, "user", "héllo?"),
+        ("c1", 1, "assistant", "答案 one"),
+        ("c1", 2, "tool", "RESULT ok"),
+        ("c1", 3, "assistant", "final"),
+        ("c2", 0, "assistant", ""),       # empty trainable turn
+    ]
+    df = _turns(spark, rows)
+    docs = {r.conv_id: r.doc_text.encode("utf-8")
+            for r in assemble_conversations(df).collect()}
+    spans = loss_mask_spans(df).collect()
+    expect = {(c, i): t for c, i, r, t in rows if r == "assistant"}
+    assert {(s.conv_id, s.turn_idx) for s in spans} == set(expect)
+    for s in spans:
+        got = docs[s.conv_id][s.span_start:s.span_end].decode("utf-8")
+        assert got == expect[(s.conv_id, s.turn_idx)]
+    empty = [s for s in spans if s.conv_id == "c2"][0]
+    assert empty.span_start == empty.span_end
+
+
+def test_loss_mask_spans_role_selection(spark):
+    from batukh_spark.operators.conversations import loss_mask_spans
+    df = _turns(spark, [
+        ("c1", 0, "user", "q"),
+        ("c1", 1, "assistant", "a"),
+        ("c1", 2, "tool", "t"),
+    ])
+    both = loss_mask_spans(df, train_roles=("assistant", "tool"))
+    assert sorted(r.role for r in both.collect()) == ["assistant", "tool"]
