@@ -2388,6 +2388,89 @@ from (
 """)
 
 
+def conversation_keep_set_q(spark, sf):
+    """Conversation-granularity dedup: the assembled conversation
+    documents run through the full keep_set verdict (exact > near
+    precedence, exact-rep collapse before LSH) — dedup at the
+    granularity a chat-transcript corpus is actually sampled at.
+    Planted twins exercise both drop classes: doc_id%25==0
+    conversations get a byte-identical '_x' twin (exact_dup),
+    doc_id%37==0 get a '_y' twin with one appended token (near_dup
+    via band collision; the oracle replays the identical chain, so
+    the verdict matches whatever the banding decides)."""
+    from batukh_spark.operators.conversations import assemble_conversations
+    num = F.substring("conv_id", 2, 100).cast("long")
+    conv = (assemble_conversations(extract_transcripts(spark, sf))
+            .select(F.col("conv_id").alias("doc_id"),
+                    F.col("doc_text").alias("text"),
+                    num.alias("__n")))
+    twins = conv.filter(F.col("__n") % 25 == 0).select(
+        F.concat("doc_id", F.lit("_x")).alias("doc_id"), "text")
+    near = conv.filter(F.col("__n") % 37 == 0).select(
+        F.concat("doc_id", F.lit("_y")).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"))
+    # localCheckpoint: keep_set consumes its input on three subplans
+    # (hashes, rep semi-join, LSH chain) — without the barrier the
+    # extraction kernel + assembly would re-run per consumer
+    alldocs = (conv.drop("__n").unionByName(twins).unionByName(near)
+               .localCheckpoint())
+    return dedup.keep_set(alldocs)
+
+
+# DuckDB rejects a nested WITH inside a `WITH RECURSIVE` CTE body, so
+# the docstats CTEs are hoisted to the top level and the extraction
+# select (EXTRACT_TRANSCRIPTS_SQL minus its leading CTEs) becomes
+# `base` directly
+_EXTRACT_SELECT_ONLY = EXTRACT_TRANSCRIPTS_SQL[len(_DOCSTATS_CTE):]
+
+CONVERSATION_KEEP_SET_SQL = (
+    "with recursive "
+    + _DOCSTATS_CTE.replace("with s as", "s as", 1)
+    + ", base as (" + _EXTRACT_SELECT_ONLY + """)
+, conv as (
+  select conv_id as doc_id,
+         string_agg('<|' || role || '|>' || chr(10) || extracted_text,
+                    chr(10) || chr(10) order by turn_idx) as text,
+         substring(conv_id, 2)::bigint as n
+  from base group by conv_id
+), docs as (
+  select doc_id, text from conv
+  union all
+  select doc_id || '_x', text from conv where n % 25 = 0
+  union all
+  select doc_id || '_y', text || ' zzz' from conv where n % 37 = 0
+), """ + _lsh_chain_sql("docs") + r"""
+, edges as (
+  select id_a as src, id_b as dst from cand
+  union
+  select id_b, id_a from cand
+), reach(id, lab) as (
+  select src, src from edges
+  union
+  select e.src, r.lab from edges e join reach r on r.id = e.dst
+), clusters as (
+  select id as doc_id, min(lab) as cluster_id from reach group by id
+), hashes as (
+  select doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+           as text_hash
+  from docs
+), exact as (
+  select text_hash, min(doc_id) as keep_id from hashes group by 1
+), verdict as (
+  select h.doc_id,
+         case when h.doc_id <> e.keep_id then 'exact_dup'
+              when c.cluster_id is not null and h.doc_id <> c.cluster_id
+                   then 'near_dup'
+              else 'unique' end as reason
+  from hashes h
+  join exact e using (text_hash)
+  left join clusters c using (doc_id)
+)
+select doc_id, reason = 'unique' as keep, reason from verdict
+""")
+
+
 def loss_mask_spans_q(spark, sf):
     """Assistant-only loss-mask spans: [start, end) byte offsets of
     each assistant turn's extracted text inside the assembled
@@ -2502,6 +2585,8 @@ QUERIES = {
     "video_frame_sample": (video_frame_sample_q, VIDEO_FRAME_SQL),
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
     "loss_mask_spans": (loss_mask_spans_q, LOSS_MASK_SPANS_SQL),
+    "conversation_keep_set": (conversation_keep_set_q,
+                              CONVERSATION_KEEP_SET_SQL),
     "token_budget_sample": (token_budget_sample_q, TOKEN_BUDGET_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
