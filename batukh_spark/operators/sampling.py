@@ -128,3 +128,46 @@ def token_budget_sample(docs: DataFrame, budget: int,
             .select(F.col(id_col), F.col("__s").alias(strata_col),
                     F.col("__n").alias(tokens_col),
                     before.alias("tokens_before")))
+
+
+def split_assign(rows: DataFrame, weights: dict[str, float],
+                 key_col: str = "conv_id",
+                 salt: str = "split1") -> DataFrame:
+    """Deterministic, leakage-free train/val/test assignment: every
+    row gains a `split` column chosen by where the first 8 hex chars
+    of md5(salt || key) fall among the cumulative weight cut points.
+
+    Keyed on the GROUP (conversation/document id), not the row: all
+    of a conversation's turns, chunks, and packed pieces land in the
+    SAME split, which is the property that prevents train->val
+    leakage — splitting downstream rows independently would put half
+    a conversation in train and its near-identical other half in val.
+
+    Deterministic: same keys + salt + weights -> the same assignment
+    on any cluster, any partitioning, any retry (growing a corpus
+    never reassigns an existing key, unlike ntile/row_number schemes
+    that reshuffle everything when n changes).
+
+    Granularity is 1/16^8 (~6e-10); weights are normalized to sum 1
+    (the last-named split absorbs the remainder, so every key gets a
+    split).  Scale: a codegen'd scan-local expression — no shuffle,
+    no state.
+    """
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative, got {weights}")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        1, 8)
+    names = sorted(weights)
+    expr, cum = None, 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        thr = format(min(round(cum * 16 ** 8), 16 ** 8 - 1), "08x")
+        expr = (F.when(h < thr, name) if expr is None
+                else expr.when(h < thr, name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return rows.withColumn("split", split)

@@ -2388,6 +2388,46 @@ from (
 """)
 
 
+def _split_case_sql(key_expr: str, weights: dict[str, float],
+                    salt: str) -> str:
+    """DuckDB mirror of operators/sampling.split_assign — generated
+    from the same weights/salt literals and the same cut-point
+    arithmetic, so the assignment is identical by construction."""
+    total = sum(weights.values())
+    names = sorted(weights)
+    h = f"substring(md5('{salt}:' || {key_expr}), 1, 8)"
+    parts, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        thr = format(min(round(cum * 16 ** 8), 16 ** 8 - 1), "08x")
+        parts.append(f"when {h} < '{thr}' then '{name}'")
+    return ("case " + " ".join(parts) + f" else '{names[-1]}' end"
+            if parts else f"'{names[-1]}'")
+
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def train_val_split_q(spark, sf):
+    """Leakage-free train/val/test assignment over the extraction's
+    turns, keyed on conv_id (operators/sampling.split_assign): every
+    turn of a conversation lands in the same split — the group-keyed
+    property that keeps near-identical rows of one conversation from
+    straddling train and val.  Scan-local codegen expression, no
+    shuffle; the oracle is generated from the same weight literals."""
+    from batukh_spark.operators.sampling import split_assign
+    turns = extract_transcripts(spark, sf).select("conv_id", "turn_idx")
+    return split_assign(turns, _SPLIT_WEIGHTS, key_col="conv_id",
+                        salt="split1")
+
+
+TRAIN_VAL_SPLIT_SQL = (
+    "with base as (" + EXTRACT_TRANSCRIPTS_SQL + """)
+select conv_id, turn_idx, """
+    + _split_case_sql("conv_id", _SPLIT_WEIGHTS, "split1")
+    + " as split from base")
+
+
 def conversation_keep_set_q(spark, sf):
     """Conversation-granularity dedup: the assembled conversation
     documents run through the full keep_set verdict (exact > near
@@ -2587,6 +2627,7 @@ QUERIES = {
     "loss_mask_spans": (loss_mask_spans_q, LOSS_MASK_SPANS_SQL),
     "conversation_keep_set": (conversation_keep_set_q,
                               CONVERSATION_KEEP_SET_SQL),
+    "train_val_split": (train_val_split_q, TRAIN_VAL_SPLIT_SQL),
     "token_budget_sample": (token_budget_sample_q, TOKEN_BUDGET_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),

@@ -212,3 +212,37 @@ def test_loss_mask_spans_role_selection(spark):
     ])
     both = loss_mask_spans(df, train_roles=("assistant", "tool"))
     assert sorted(r.role for r in both.collect()) == ["assistant", "tool"]
+
+
+def test_split_assign_group_cohesion_and_stability(spark):
+    from batukh_spark.operators.sampling import split_assign
+    # 40 convs x 3 turns: every turn of a conv gets the SAME split
+    rows = [(f"c{i}", j, "user", "t") for i in range(40) for j in range(3)]
+    df = _turns(spark, rows)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(df, w).collect()
+    per_conv = {}
+    for r in out:
+        per_conv.setdefault(r.conv_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_conv.values())
+    # growing the corpus never reassigns an existing key
+    grown = _turns(spark, rows + [(f"c{i}", 0, "user", "t")
+                                  for i in range(40, 400)])
+    again = {r.conv_id: r.split for r in split_assign(grown, w).collect()}
+    for conv, splits in per_conv.items():
+        assert again[conv] == next(iter(splits))
+    # fractions land near the weights over the grown key set
+    from collections import Counter
+    c = Counter(again.values())
+    assert c["train"] / 400 > 0.7 and c["val"] > 0 and c["test"] > 0
+
+
+def test_split_assign_validates_weights(spark):
+    from batukh_spark.operators.sampling import split_assign
+    df = _turns(spark, [("c1", 0, "user", "t")])
+    with pytest.raises(ValueError):
+        split_assign(df, {})
+    with pytest.raises(ValueError):
+        split_assign(df, {"train": -0.5, "val": 0.5})
+    # single split: everything lands there, no cut points needed
+    assert split_assign(df, {"train": 3.0}).collect()[0].split == "train"
