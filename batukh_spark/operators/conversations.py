@@ -146,3 +146,47 @@ def boilerplate_turns(turns: DataFrame, min_convs: int = 3,
             .withColumn("n_convs", F.col("n_convs").cast("long"))
             .withColumn("is_boilerplate",
                         F.col("n_convs") >= F.lit(int(min_convs))))
+
+
+def repetition_loops(turns: DataFrame, threshold: float = 0.5,
+                     k: int = 3,
+                     id_col: str = "conv_id",
+                     order_col: str = "turn_idx",
+                     role_col: str = "role",
+                     text_col: str = "extracted_text") -> DataFrame:
+    """Agent-loop detection: for every turn that has an EARLIER turn
+    of the same role in its conversation, the k-word-shingle Jaccard
+    similarity against that immediately preceding same-role turn —
+    an assistant (or tool) re-emitting near-identical output turn
+    after turn is the classic stuck-agent loop, and transcripts
+    caught in one are training poison (the model learns to repeat
+    itself).  Returns (id_col, order_col, role, jaccard_prev,
+    is_loop) for turns with a same-role predecessor; jaccard_prev is
+    rounded to 6 places (cross-engine float stability), is_loop =
+    jaccard_prev >= threshold.
+
+    Scale: shingle arrays are staged as columns (never recomputed
+    inside lambda bodies — the interpreted-HOF tax), the predecessor
+    comes from a lag window keyed on (conversation, role) — doc-keyed
+    and hash-partitioned, never SinglePartition — and the similarity
+    is codegen array_intersect/array_union on the two arrays riding
+    the same row; no self-join, no all-pairs stage.
+    """
+    from batukh_spark.operators.text import tokens_col, word_shingles
+    toks = turns.select(
+        F.col(id_col), F.col(order_col),
+        F.coalesce(F.col(role_col), F.lit("")).alias("role"),
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk"))
+    sh = toks.select(
+        F.col(id_col), F.col(order_col), F.col("role"),
+        F.array_distinct(word_shingles(F.col("__tk"), k)).alias("__sh"))
+    w = Window.partitionBy(id_col, "role").orderBy(order_col)
+    lagged = sh.withColumn("__psh", F.lag("__sh").over(w)) \
+        .filter(F.col("__psh").isNotNull())
+    inter = F.size(F.array_intersect("__sh", "__psh"))
+    union = F.size("__sh") + F.size("__psh") - inter
+    jac = F.round(F.when(union > 0, inter / union).otherwise(0.0), 6)
+    return lagged.select(
+        F.col(id_col), F.col(order_col), F.col("role"),
+        jac.alias("jaccard_prev"),
+        (jac >= F.lit(float(threshold))).alias("is_loop"))

@@ -2388,6 +2388,94 @@ from (
 """)
 
 
+def repetition_loops_q(spark, sf):
+    """Stuck-agent loop detection: every turn with an earlier same-role
+    turn in its conversation is scored by 3-word-shingle Jaccard
+    against that predecessor (operators/conversations.repetition_loops
+    — staged shingle columns, (conv, role)-keyed lag window, codegen
+    intersect/union; no self-join).  Planted loops: doc_id%13==0
+    conversations get a verbatim copy of their assistant turn
+    (jaccard 1.0), doc_id%17==0 a copy with appended tail tokens
+    (partial overlap); the base 3-turn conversations have no same-role
+    adjacency, so every output row is a planted comparison."""
+    from batukh_spark.operators.conversations import repetition_loops
+    ext = extract_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "role", "extracted_text")
+    num = F.substring("conv_id", 2, 100).cast("long")
+    asst = ext.filter(F.col("turn_idx") == 1)
+    dup = asst.filter(num % 13 == 0).select(
+        "conv_id", F.lit(3).alias("turn_idx"), "role", "extracted_text")
+    part = asst.filter(num % 17 == 0).select(
+        "conv_id", F.lit(4).alias("turn_idx"), "role",
+        F.concat("extracted_text",
+                 F.lit(" circling back to the same plan again"))
+        .alias("extracted_text"))
+    # non-loop control: a same-role successor with unrelated content
+    # (every turn family of one conv shares the SAME document words,
+    # so an unrelated fixed sentence is the clean dissimilar case)
+    _ctl_text = "let me try a completely different approach to this now"
+    ctl = (ext.filter((F.col("turn_idx") == 1) & (num % 19 == 0))
+           .select("conv_id", F.lit(5).alias("turn_idx"), "role",
+                   F.lit(_ctl_text).alias("extracted_text")))
+    allt = (ext.unionByName(dup).unionByName(part).unionByName(ctl)
+            .localCheckpoint())
+    return repetition_loops(allt)
+
+
+REPETITION_LOOPS_SQL = (
+    "with base as (" + EXTRACT_TRANSCRIPTS_SQL + r""")
+, aug as (
+  select conv_id, turn_idx, role, extracted_text from base
+  union all
+  select conv_id, 3, role, extracted_text from base
+  where turn_idx = 1 and substring(conv_id, 2)::bigint % 13 = 0
+  union all
+  select conv_id, 4, role,
+         extracted_text || ' circling back to the same plan again'
+  from base
+  where turn_idx = 1 and substring(conv_id, 2)::bigint % 17 = 0
+  union all
+  select conv_id, 5, role,
+         'let me try a completely different approach to this now'
+  from base
+  where turn_idx = 1 and substring(conv_id, 2)::bigint % 19 = 0
+), tk as (
+  select conv_id, turn_idx, role,
+         list_filter(regexp_split_to_array(lower(extracted_text),
+                                           '\s+'), x -> x <> '') as tokens
+  from aug
+), sh as (
+  select conv_id, turn_idx, role,
+         list_distinct(case when len(tokens) >= 3 then
+           list_transform(generate_series(1, len(tokens) - 2),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+         else [] end) as sh
+  from tk
+), lagged as (
+  select conv_id, turn_idx, role, sh,
+         lag(sh) over (partition by conv_id, role
+                       order by turn_idx) as psh
+  from sh
+)
+select conv_id, turn_idx, role,
+       round(case when len(sh) + len(psh)
+                       - len(list_filter(sh, x -> list_contains(psh, x)))
+                  = 0 then 0
+             else len(list_filter(sh, x -> list_contains(psh, x)))::double
+                  / (len(sh) + len(psh)
+                     - len(list_filter(sh, x -> list_contains(psh, x))))
+             end, 6) as jaccard_prev,
+       round(case when len(sh) + len(psh)
+                       - len(list_filter(sh, x -> list_contains(psh, x)))
+                  = 0 then 0
+             else len(list_filter(sh, x -> list_contains(psh, x)))::double
+                  / (len(sh) + len(psh)
+                     - len(list_filter(sh, x -> list_contains(psh, x))))
+             end, 6) >= 0.5 as is_loop
+from lagged where psh is not null
+""")
+
+
 def _split_case_sql(key_expr: str, weights: dict[str, float],
                     salt: str) -> str:
     """DuckDB mirror of operators/sampling.split_assign — generated
@@ -2628,6 +2716,7 @@ QUERIES = {
     "conversation_keep_set": (conversation_keep_set_q,
                               CONVERSATION_KEEP_SET_SQL),
     "train_val_split": (train_val_split_q, TRAIN_VAL_SPLIT_SQL),
+    "repetition_loops": (repetition_loops_q, REPETITION_LOOPS_SQL),
     "token_budget_sample": (token_budget_sample_q, TOKEN_BUDGET_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),

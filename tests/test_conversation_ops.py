@@ -246,3 +246,25 @@ def test_split_assign_validates_weights(spark):
         split_assign(df, {"train": -0.5, "val": 0.5})
     # single split: everything lands there, no cut points needed
     assert split_assign(df, {"train": 3.0}).collect()[0].split == "train"
+
+
+def test_repetition_loops_detects_and_clears(spark):
+    from batukh_spark.operators.conversations import repetition_loops
+    df = _turns(spark, [
+        ("c1", 0, "user", "please fix the build it is broken again"),
+        ("c1", 1, "assistant", "i will run the test suite to check it"),
+        ("c1", 2, "user", "that did not work try something else"),
+        ("c1", 3, "assistant", "i will run the test suite to check it"),
+        ("c1", 4, "assistant", "switching to a totally new debugging plan"),
+        ("c2", 0, "assistant", "lonely turn has no predecessor"),
+    ])
+    rows = {(r.conv_id, r.turn_idx): r for r in repetition_loops(df).collect()}
+    # verbatim same-role repeat across an interleaved user turn -> loop
+    assert rows[("c1", 3)].jaccard_prev == 1.0
+    assert rows[("c1", 3)].is_loop
+    # fresh content clears the flag
+    assert rows[("c1", 4)].jaccard_prev < 0.5
+    assert not rows[("c1", 4)].is_loop
+    # turns without a same-role predecessor produce no row
+    assert ("c1", 0) not in rows and ("c1", 1) not in rows
+    assert ("c2", 0) not in rows
