@@ -344,3 +344,66 @@ def conv_progress_stateful(spark: SparkSession, source_dir: str):
                 stateStructType=_CONV_STATE_TYPES,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# output schema of the running conversation assembler
+CONV_DOC_SCHEMA = ("conv_id string, n_turns long, n_bytes long, "
+                   "doc_text string")
+_CONV_DOC_STATE = "idxs array<int>, pieces array<string>"
+
+
+def streaming_conversation_docs(spark: SparkSession, source_dir: str):
+    """Streaming twin of operators/conversations.assemble_conversations:
+    turns stream in (extracted in-stream by the same fused kernel),
+    and each conversation's role-tagged training document is
+    re-assembled as an UPDATE every time new turns for it arrive —
+    the running-document shape a live transcript ingest needs.  The
+    final update per conversation is byte-identical to the batch
+    operator over the same rows (the twin test pins it).
+
+    State per conversation is the (turn_idx, piece) buffer — bounded
+    by one conversation's extracted bytes, same bound as the batch
+    groupBy; a processing-time timeout would evict idle conversations
+    in a long-lived deployment.  Ordering replays the batch rule
+    exactly: sort by (turn_idx, piece) — so out-of-order and
+    cross-batch arrival cannot change the final document."""
+    import pandas as pd  # noqa: F401 (worker-side import check)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+        idxs, pieces = (state.get if state.exists else ([], []))
+        idxs, pieces = list(idxs), list(pieces)
+        for pdf in pdfs:
+            for t, r, x in zip(pdf["turn_idx"], pdf["role"],
+                               pdf["extracted_text"]):
+                r = "" if r is None or (isinstance(r, float)) else str(r)
+                x = "" if x is None or (isinstance(x, float)) else str(x)
+                idxs.append(int(t))
+                pieces.append(f"<|{r}|>\n{x}")
+        state.update((idxs, pieces))
+        order = sorted(range(len(idxs)),
+                       key=lambda i: (idxs[i], pieces[i]))
+        doc = "\n\n".join(pieces[i] for i in order)
+        yield _pd.DataFrame([{
+            "conv_id": key[0], "n_turns": len(idxs),
+            "n_bytes": len(doc.encode("utf-8")), "doc_text": doc}])
+
+    stream = (spark.readStream
+              .schema(TRANSCRIPTS_SCHEMA)
+              # small trigger batches so conversations genuinely span
+              # micro-batches and the state buffer is exercised
+              .option("maxFilesPerTrigger", "8")
+              .parquet(source_dir))
+    extracted = stream.mapInArrow(
+        kernels.extract_turns_lean,
+        schema=kernels.lean_schema_sql(_OUT_SCHEMA_SQL))
+    return (extracted
+            .select("conv_id", "turn_idx", "role", "extracted_text")
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=CONV_DOC_SCHEMA,
+                stateStructType=_CONV_DOC_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "duplicated_passages", "passage_excision",
     "cosine_topk", "ivf_cluster_sizes", "srp_near_dup", "media_features",
     "video_frame_sample",
+    # conversation-granularity layer (round 5)
+    "conversation_docs", "loss_mask_spans", "conversation_keep_set",
+    "boilerplate_turns", "repetition_loops", "train_val_split",
+    "token_budget_sample", "epoch_order", "unigram_logprob",
 ]
 # srp_recall is excluded: its brute-force TRUTH SET is intentionally
 # all-pairs (it exists to measure the banded path's recall) and runs at

@@ -217,3 +217,35 @@ def test_streaming_decontaminate_matches_batch(spark, dirs, tmp_path):
     assert got == want
     flags = {v[0] for v in want.values()}
     assert flags == {True, False}      # fixture exercises both classes
+
+
+def test_streaming_conversation_docs_matches_batch(spark, dirs):
+    """The running assembler's FINAL update per conversation must be
+    byte-identical to the batch assemble_conversations over the same
+    extracted turns, even with conversations spanning micro-batches
+    and out-of-order arrival (partitioned writes interleave turns)."""
+    from batukh_spark import kernels
+    from batukh_spark.operators.conversations import assemble_conversations
+    from batukh_spark.streaming.incremental import (
+        _OUT_SCHEMA_SQL, streaming_conversation_docs)
+
+    make_transcripts(spark, 30, partitions=20).write.parquet(dirs["src"])
+
+    q = (streaming_conversation_docs(spark, dirs["src"])
+         .writeStream.format("memory").queryName("convdocs")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # memory sink accumulates every update; the final state per conv
+    # is the row with the highest n_turns
+    rows = spark.sql(
+        "select * from (select *, row_number() over "
+        "(partition by conv_id order by n_turns desc) rn from convdocs) "
+        "where rn = 1").collect()
+    got = {r.conv_id: (r.n_turns, r.n_bytes, r.doc_text) for r in rows}
+
+    batch_ext = spark.read.parquet(dirs["src"]).mapInArrow(
+        kernels.extract_turns_lean,
+        schema=kernels.lean_schema_sql(_OUT_SCHEMA_SQL))
+    want = {r.conv_id: (r.n_turns, r.n_bytes, r.doc_text)
+            for r in assemble_conversations(batch_ext).collect()}
+    assert got == want
