@@ -190,3 +190,155 @@ def repetition_loops(turns: DataFrame, threshold: float = 0.5,
         F.col(id_col), F.col(order_col), F.col("role"),
         jac.alias("jaccard_prev"),
         (jac >= F.lit(float(threshold))).alias("is_loop"))
+
+
+def trace_stats(turns: DataFrame,
+                error_markers: tuple[str, ...] = ("error:", "traceback",
+                                                  "exception:"),
+                id_col: str = "conv_id",
+                role_col: str = "role",
+                text_col: str = "extracted_text",
+                tool_col: str = "tool") -> DataFrame:
+    """Per-conversation agent-trace profile — the triage view an
+    agent-transcript corpus is filtered on before training: how much
+    of a trace is tool traffic, how many distinct tools it touched,
+    how often those tools errored, and what fraction of the bytes the
+    assistant actually wrote.  Traces that are all tool output (or all
+    tool FAILURES) are curation targets, not training documents.
+
+    Returns one row per conversation:
+      (id_col, n_turns, n_user, n_assistant, n_tool, n_tools_distinct,
+       n_tool_errors, total_bytes, assistant_bytes,
+       assistant_byte_frac)
+
+    `n_tool_errors` counts tool-role turns whose lowered text contains
+    any of `error_markers` — substring match, not regex, so Spark and
+    any SQL oracle compute the identical flag (no Java-vs-RE2 regex
+    dialect to reconcile) and the check stays in whole-stage codegen.
+    `assistant_byte_frac` is rounded to 6 places (the repo's standard
+    cross-engine float guard); 0.0 for a conversation with 0 bytes.
+
+    Scale: ONE groupBy(id_col) over conditional codegen aggregates —
+    the same single shuffle any per-conversation rollup needs; the
+    shuffle rows carry a handful of ints (map-side partials collapse
+    each conversation's turns before the exchange), never the text.
+    """
+    role_ = F.coalesce(F.col(role_col), F.lit(""))
+    text_ = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(text_)
+    is_err = F.lit(False)
+    for m in error_markers:
+        is_err = is_err | (F.instr(low, m.lower()) > 0)
+    nbytes = F.octet_length(text_).cast("long")
+    one = F.lit(1)
+    agg = turns.groupBy(F.col(id_col)).agg(
+        F.count(one).cast("long").alias("n_turns"),
+        F.sum(F.when(role_ == "user", 1).otherwise(0))
+        .cast("long").alias("n_user"),
+        F.sum(F.when(role_ == "assistant", 1).otherwise(0))
+        .cast("long").alias("n_assistant"),
+        F.sum(F.when(role_ == "tool", 1).otherwise(0))
+        .cast("long").alias("n_tool"),
+        F.count_distinct(F.when(role_ == "tool", F.col(tool_col)))
+        .cast("long").alias("n_tools_distinct"),
+        F.sum(F.when((role_ == "tool") & is_err, 1).otherwise(0))
+        .cast("long").alias("n_tool_errors"),
+        F.sum(nbytes).cast("long").alias("total_bytes"),
+        F.sum(F.when(role_ == "assistant", nbytes).otherwise(0))
+        .cast("long").alias("assistant_bytes"))
+    frac = F.when(F.col("total_bytes") > 0,
+                  F.round(F.col("assistant_bytes")
+                          / F.col("total_bytes"), 6)) \
+        .otherwise(F.lit(0.0))
+    return agg.withColumn("assistant_byte_frac", frac)
+
+
+def role_transitions(turns: DataFrame,
+                     id_col: str = "conv_id",
+                     order_col: str = "turn_idx",
+                     role_col: str = "role") -> DataFrame:
+    """Corpus-wide role-bigram histogram: for every turn, the
+    (previous role -> role) transition within its conversation (the
+    first turn transitions from the sentinel '<start>'), counted over
+    the whole corpus.  The transition profile is how a transcript
+    corpus's PROTOCOL is audited at scale: user->user double-sends,
+    assistant turns with no preceding user, tool output nothing
+    requested — each anomaly is a cell that should be ~zero, and a
+    fat cell localizes a broken producer without reading a single
+    transcript.
+
+    Returns (prev_role, role, n) sorted nowhere (order it at the
+    consumer).  Scale: a lag window keyed on (id_col ORDER BY
+    order_col) — hash-partitioned by conversation, never
+    SinglePartition — carrying only the two role strings, then a
+    groupBy over at most |roles|^2 keys (map-side partials make the
+    final exchange a few dozen rows regardless of corpus size).
+    """
+    role_ = F.coalesce(F.col(role_col), F.lit(""))
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    prev = F.coalesce(F.lag(role_).over(w), F.lit("<start>"))
+    return (turns
+            .select(F.col(id_col), F.col(order_col), role_.alias("role"))
+            .withColumn("prev_role", prev)
+            .groupBy("prev_role", "role")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def sft_samples(turns: DataFrame,
+                train_roles: tuple[str, ...] = ("assistant",),
+                id_col: str = "conv_id",
+                order_col: str = "turn_idx",
+                role_col: str = "role",
+                text_col: str = "extracted_text",
+                sep: str = "\n\n",
+                materialize: bool = True) -> DataFrame:
+    """SFT sample expansion: one training sample per trainable turn —
+    the standard multi-turn supervised-fine-tuning transform.  Sample
+    t's INPUT is the assembled conversation document up to and
+    including turn t's role header; its TARGET is turn t's extracted
+    text.  Offsets are BYTES into the `assemble_conversations`
+    document with the same parameters (what a byte-level tokenizer
+    slices).
+
+    Returns one row per trainable turn:
+      (id_col, order_col, role, context_bytes, target_bytes
+       [, context_text, target_text])
+    where context_bytes == the target span's start offset and the two
+    text columns (when `materialize=True`) are BYTE slices of the
+    assembled document — substring over the binary cast, so a
+    multi-byte code point is never split (spans land on piece
+    boundaries by construction).
+
+    Materializing contexts duplicates bytes: a k-turn conversation
+    emits ~k/2 prefixes of growing length (O(doc * k) output).  That
+    is the correct shape for a small SFT corpus; at pretraining scale
+    pass `materialize=False` to emit offsets only (no join, no text
+    shuffle) and slice lazily at the reader.
+
+    Scale: offsets come from `loss_mask_spans` (doc-keyed window over
+    int lengths); materialization adds one join keyed on `id_col`
+    shipping each document once (then fan-out is scan-local slicing).
+    """
+    spans = loss_mask_spans(turns, train_roles, id_col, order_col,
+                            role_col, text_col, sep)
+    if not materialize:
+        return spans.select(
+            F.col(id_col), F.col(order_col), F.col("role"),
+            F.col("span_start").alias("context_bytes"),
+            (F.col("span_end") - F.col("span_start")).cast("long")
+            .alias("target_bytes"))
+    docs = assemble_conversations(turns, id_col, order_col, role_col,
+                                  text_col, sep) \
+        .select(F.col(id_col), F.col("doc_text").alias("__doc"))
+    j = spans.join(docs, id_col)
+    ctx = F.expr("cast(substring(cast(__doc as binary), 1, span_start) "
+                 "as string)")
+    tgt = F.expr("cast(substring(cast(__doc as binary), span_start + 1, "
+                 "span_end - span_start) as string)")
+    return j.select(
+        F.col(id_col), F.col(order_col), F.col("role"),
+        F.col("span_start").alias("context_bytes"),
+        (F.col("span_end") - F.col("span_start")).cast("long")
+        .alias("target_bytes"),
+        ctx.alias("context_text"),
+        tgt.alias("target_text"))

@@ -2662,6 +2662,166 @@ from o where tokens_before < 2000
 """
 
 
+def _trace_turns(spark, sf):
+    """Shared fixture for the agent-trace queries: the flagship
+    extraction's turns with tool metadata re-attached (the lean kernel
+    drops it) and planted anomalies — conv%7==0 gets a failing tool
+    turn (ERROR marker appended), conv%9==0 gets a SECOND tool (a
+    'calc' turn whose text is a Traceback), conv%11==0 gets a
+    user->user double-send (turns 3 and 4)."""
+    ext = extract_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "role", "extracted_text")
+    num = F.substring("conv_id", 2, 100).cast("long")
+    base = ext.select(
+        "conv_id", "turn_idx", "role",
+        F.when((F.col("role") == "tool") & (num % 7 == 0),
+               F.concat("extracted_text", F.lit("\nERROR: timeout")))
+        .otherwise(F.col("extracted_text")).alias("extracted_text"),
+        F.when(F.col("role") == "tool", F.lit("search"))
+        .otherwise(F.lit(None).cast("string")).alias("tool"))
+    calc = ext.filter((F.col("turn_idx") == 2) & (num % 9 == 0)).select(
+        "conv_id", F.lit(5).alias("turn_idx"), F.lit("tool").alias("role"),
+        F.lit("Traceback (most recent call last)").alias("extracted_text"),
+        F.lit("calc").alias("tool"))
+    dbl = ext.filter((F.col("turn_idx") == 0) & (num % 11 == 0))
+    u3 = dbl.select("conv_id", F.lit(3).alias("turn_idx"),
+                    F.lit("user").alias("role"),
+                    F.lit("are you still there").alias("extracted_text"),
+                    F.lit(None).cast("string").alias("tool"))
+    u4 = dbl.select("conv_id", F.lit(4).alias("turn_idx"),
+                    F.lit("user").alias("role"),
+                    F.lit("hello??").alias("extracted_text"),
+                    F.lit(None).cast("string").alias("tool"))
+    return base.unionByName(calc).unionByName(u3).unionByName(u4)
+
+
+# oracle mirror of _trace_turns (aug over the extraction closed form)
+_TRACE_AUG_CTE = (
+    "with base as (" + EXTRACT_TRANSCRIPTS_SQL + """)
+, aug as (
+  select conv_id, turn_idx, role,
+         case when role = 'tool'
+                   and substring(conv_id, 2)::bigint % 7 = 0
+              then extracted_text || chr(10) || 'ERROR: timeout'
+              else extracted_text end as extracted_text,
+         case when role = 'tool' then 'search' end as tool
+  from base
+  union all
+  select conv_id, 5, 'tool', 'Traceback (most recent call last)', 'calc'
+  from base
+  where turn_idx = 2 and substring(conv_id, 2)::bigint % 9 = 0
+  union all
+  select conv_id, 3, 'user', 'are you still there', NULL
+  from base
+  where turn_idx = 0 and substring(conv_id, 2)::bigint % 11 = 0
+  union all
+  select conv_id, 4, 'user', 'hello??', NULL
+  from base
+  where turn_idx = 0 and substring(conv_id, 2)::bigint % 11 = 0
+)
+""")
+
+
+def trace_stats_q(spark, sf):
+    """Per-conversation agent-trace profile over the flagship turns
+    with planted tool failures, a second tool, and user double-sends
+    (operators/conversations.trace_stats — one conditional-agg
+    groupBy; error flag is substring match so both engines compute
+    it identically)."""
+    from batukh_spark.operators.conversations import trace_stats
+    return trace_stats(_trace_turns(spark, sf))
+
+
+TRACE_STATS_SQL = _TRACE_AUG_CTE + """
+select conv_id,
+       count(*)::bigint as n_turns,
+       sum(case when role = 'user' then 1 else 0 end)::bigint as n_user,
+       sum(case when role = 'assistant' then 1 else 0 end)::bigint
+         as n_assistant,
+       sum(case when role = 'tool' then 1 else 0 end)::bigint as n_tool,
+       count(distinct case when role = 'tool' then tool end)::bigint
+         as n_tools_distinct,
+       sum(case when role = 'tool' and (
+             contains(lower(extracted_text), 'error:')
+             or contains(lower(extracted_text), 'traceback')
+             or contains(lower(extracted_text), 'exception:'))
+           then 1 else 0 end)::bigint as n_tool_errors,
+       sum(octet_length(encode(extracted_text)))::bigint as total_bytes,
+       sum(case when role = 'assistant'
+           then octet_length(encode(extracted_text)) else 0 end)::bigint
+         as assistant_bytes,
+       case when sum(octet_length(encode(extracted_text))) > 0
+            then round(sum(case when role = 'assistant'
+                           then octet_length(encode(extracted_text))
+                           else 0 end)
+                       / sum(octet_length(encode(extracted_text))), 6)
+            else 0.0 end as assistant_byte_frac
+from aug group by conv_id
+"""
+
+
+def role_transitions_q(spark, sf):
+    """Corpus-wide role-bigram transition histogram over the same
+    planted fixture (operators/conversations.role_transitions — lag
+    window per conversation, then a tiny groupBy); the planted
+    double-sends make tool->user and user->user non-zero cells."""
+    from batukh_spark.operators.conversations import role_transitions
+    return role_transitions(_trace_turns(spark, sf))
+
+
+ROLE_TRANSITIONS_SQL = _TRACE_AUG_CTE + """
+, lagged as (
+  select coalesce(lag(role) over (partition by conv_id
+                                  order by turn_idx), '<start>')
+           as prev_role,
+         role
+  from aug
+)
+select prev_role, role, count(*)::bigint as n
+from lagged group by prev_role, role
+"""
+
+
+def sft_samples_q(spark, sf):
+    """SFT sample expansion: one (context, target) pair per assistant
+    turn, where the Spark side BYTE-SLICES the assembled conversation
+    document at the loss-mask offsets (substring over the binary
+    cast) and the oracle CONSTRUCTS the same strings from the turn
+    pieces — a hash match proves the byte-offset arithmetic is
+    exactly consistent with assembly
+    (operators/conversations.sft_samples)."""
+    from batukh_spark.operators.conversations import sft_samples
+    ext = extract_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "role", "extracted_text")
+    return sft_samples(ext)
+
+
+SFT_SAMPLES_SQL = (
+    "with base as (" + EXTRACT_TRANSCRIPTS_SQL + """)
+, p as (
+  select conv_id, turn_idx, role, extracted_text,
+         '<|' || role || '|>' || chr(10) || extracted_text as piece
+  from base
+)
+select p1.conv_id, p1.turn_idx, p1.role,
+       octet_length(encode(
+         coalesce(string_agg(p2.piece, chr(10) || chr(10)
+                             order by p2.turn_idx)
+                  || chr(10) || chr(10), '')
+         || '<|' || p1.role || '|>' || chr(10)))::bigint as context_bytes,
+       octet_length(encode(p1.extracted_text))::bigint as target_bytes,
+       coalesce(string_agg(p2.piece, chr(10) || chr(10)
+                           order by p2.turn_idx)
+                || chr(10) || chr(10), '')
+       || '<|' || p1.role || '|>' || chr(10) as context_text,
+       p1.extracted_text as target_text
+from p p1
+left join p p2 on p2.conv_id = p1.conv_id and p2.turn_idx < p1.turn_idx
+where p1.role = 'assistant'
+group by p1.conv_id, p1.turn_idx, p1.role, p1.extracted_text
+""")
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -2721,6 +2881,9 @@ QUERIES = {
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),
+    "trace_stats": (trace_stats_q, TRACE_STATS_SQL),
+    "role_transitions": (role_transitions_q, ROLE_TRANSITIONS_SQL),
+    "sft_samples": (sft_samples_q, SFT_SAMPLES_SQL),
     # flagship extraction kernels over SQL-templated payloads
     "extract_transcripts": (extract_transcripts, EXTRACT_TRANSCRIPTS_SQL),
     "html_block_kinds": (html_block_kinds, HTML_BLOCK_KINDS_SQL),

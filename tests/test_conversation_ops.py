@@ -268,3 +268,98 @@ def test_repetition_loops_detects_and_clears(spark):
     # turns without a same-role predecessor produce no row
     assert ("c1", 0) not in rows and ("c1", 1) not in rows
     assert ("c2", 0) not in rows
+
+
+def _tool_turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+              "extracted_text string, tool string")
+
+
+def test_trace_stats_counts_and_error_markers(spark):
+    from batukh_spark.operators.conversations import trace_stats
+    df = _tool_turns(spark, [
+        ("c1", 0, "user", "run the thing", None),
+        ("c1", 1, "assistant", "calling the tool", None),
+        ("c1", 2, "tool", "RESULT ok", "search"),
+        ("c1", 3, "tool", "ERROR: timeout after 30s", "search"),
+        ("c1", 4, "tool", "Traceback (most recent call last)", "calc"),
+        ("c2", 0, "user", "", None),
+    ])
+    out = {r.conv_id: r for r in trace_stats(df).collect()}
+    r = out["c1"]
+    assert (r.n_turns, r.n_user, r.n_assistant, r.n_tool) == (5, 1, 1, 3)
+    assert r.n_tools_distinct == 2
+    # marker match is case-insensitive substring, tool turns only
+    assert r.n_tool_errors == 2
+    assert r.total_bytes == sum(len(t.encode()) for t in (
+        "run the thing", "calling the tool", "RESULT ok",
+        "ERROR: timeout after 30s", "Traceback (most recent call last)"))
+    assert r.assistant_bytes == len("calling the tool")
+    assert abs(r.assistant_byte_frac
+               - round(r.assistant_bytes / r.total_bytes, 6)) < 1e-9
+    # zero-byte conversation: frac is 0.0, not null/NaN
+    assert out["c2"].total_bytes == 0
+    assert out["c2"].assistant_byte_frac == 0.0
+
+
+def test_trace_stats_error_marker_outside_tool_role_ignored(spark):
+    from batukh_spark.operators.conversations import trace_stats
+    df = _tool_turns(spark, [
+        ("c1", 0, "assistant", "I saw ERROR: timeout in the log", None),
+        ("c1", 1, "tool", "RESULT ok", "search"),
+    ])
+    assert trace_stats(df).collect()[0].n_tool_errors == 0
+
+
+def test_role_transitions_cells(spark):
+    from batukh_spark.operators.conversations import role_transitions
+    df = _turns(spark, [
+        ("c1", 0, "user", "a"),
+        ("c1", 1, "assistant", "b"),
+        ("c1", 2, "user", "c"),
+        ("c1", 3, "user", "d"),          # double-send
+        ("c2", 0, "user", "e"),
+    ])
+    cells = {(r.prev_role, r.role): r.n
+             for r in role_transitions(df).collect()}
+    assert cells[("<start>", "user")] == 2   # one per conversation
+    assert cells[("user", "assistant")] == 1
+    assert cells[("assistant", "user")] == 1
+    assert cells[("user", "user")] == 1      # the anomaly cell
+    assert sum(cells.values()) == 5          # one transition per turn
+
+
+def test_sft_samples_slices_match_assembly(spark):
+    from batukh_spark.operators.conversations import sft_samples
+    df = _turns(spark, [
+        ("c1", 0, "user", "héllo wörld"),        # multibyte context
+        ("c1", 1, "assistant", "grüß dich 你好"),  # multibyte target
+        ("c1", 2, "user", "again"),
+        ("c1", 3, "assistant", "bye"),
+    ])
+    rows = {r.turn_idx: r for r in sft_samples(df).collect()}
+    assert set(rows) == {1, 3}
+    r1 = rows[1]
+    assert r1.context_text == "<|user|>\nhéllo wörld\n\n<|assistant|>\n"
+    assert r1.target_text == "grüß dich 你好"
+    # offsets are BYTES: slicing the utf-8 doc at them reproduces text
+    assert r1.context_bytes == len(r1.context_text.encode("utf-8"))
+    assert r1.target_bytes == len(r1.target_text.encode("utf-8"))
+    r3 = rows[3]
+    assert r3.context_text.endswith("<|user|>\nagain\n\n<|assistant|>\n")
+    assert r3.target_text == "bye"
+
+
+def test_sft_samples_offsets_only_mode(spark):
+    from batukh_spark.operators.conversations import sft_samples
+    df = _turns(spark, [
+        ("c1", 0, "user", "q"),
+        ("c1", 1, "assistant", "a"),
+    ])
+    out = sft_samples(df, materialize=False)
+    assert set(out.columns) == {"conv_id", "turn_idx", "role",
+                                "context_bytes", "target_bytes"}
+    r = out.collect()[0]
+    assert r.context_bytes == len("<|user|>\nq\n\n<|assistant|>\n")
+    assert r.target_bytes == 1
