@@ -593,3 +593,66 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
                         F.col("__slq")
                         - F.col("n_tokens") * F.lit(ln_n_micro),
                         F.lit(0)).cast("long").alias("logprob_micro")))
+
+
+def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Corpus-bigram conditional log-likelihood — the order-2 upgrade
+    of `unigram_logprob`, and a much sharper fluency signal: word
+    SALAD has plausible unigrams but improbable transitions, so it
+    scores far below fluent text here while passing the unigram
+    screen.
+
+    score(d) = sum over adjacent pairs (w1, w2) of
+               ln(c2(w1, w2) / c1(w1))
+
+    with c2 the corpus count of the bigram and c1(w1) the corpus count
+    of w1 as a bigram LEFT (so each term is the MLE conditional
+    P(w2 | w1); no smoothing is needed because every document bigram
+    is, by construction, in the corpus counts).  Returns
+    (id_col, n_bigrams, bigram_logprob_micro) in integer MICRO-NATS —
+    each ln is quantized to a bigint before any sum (the repo's
+    standard float-oracle trick: integer sums are order-independent,
+    so the score is bit-identical on any engine or partitioning).
+    Documents with < 2 tokens survive with (0, 0).
+
+    Scale: mirrors unigram_logprob — bigram strings are built by a
+    codegen zip_with over the staged token array (one evaluation per
+    row; the lambda touches only its bound pair, dodging the
+    interpreted-HOF free-subexpression tax), then ONE explode feeds
+    both count aggregations (map-side partials collapse the Zipf head
+    before each shuffle) and the per-doc sum joins on the bigram
+    string — document text itself never shuffles.
+    """
+    toks = docs.select(F.col(id_col), tokens_col(text_col).alias("__tk"))
+    n = F.size("__tk")
+    pairs = F.zip_with(F.slice("__tk", 1, F.greatest(n - 1, F.lit(0))),
+                       F.slice("__tk", 2, F.greatest(n - 1, F.lit(0))),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    big = (toks.select(F.col(id_col),
+                       F.explode(pairs).alias("__bg"))
+           .localCheckpoint())
+    left = F.split(F.col("__bg"), " ", 2)[0]
+    c2 = big.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = (big.groupBy(left.alias("__w1"))
+          .agg(F.count(F.lit(1)).alias("__c1")))
+    lq2 = F.round(F.log(F.col("__c2").cast("double")) * 1e6, 0) \
+        .cast("long")
+    lq1 = F.round(F.log(F.col("__c1").cast("double")) * 1e6, 0) \
+        .cast("long")
+    terms = (big
+             .join(c2.select("__bg", lq2.alias("__l2")), "__bg")
+             .join(c1.select(F.col("__w1"),
+                             lq1.alias("__l1")),
+                   F.split(F.col("__bg"), " ", 2)[0] == F.col("__w1")))
+    per_doc = (terms.groupBy(F.col(id_col))
+               .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                    F.sum(F.col("__l2") - F.col("__l1"))
+                    .alias("__s")))
+    return (docs.select(F.col(id_col)).distinct()
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("__s", F.lit(0)).cast("long")
+                    .alias("bigram_logprob_micro")))

@@ -2662,6 +2662,47 @@ from o where tokens_before < 2000
 """
 
 
+def bigram_logprob_q(spark, sf):
+    """Corpus-bigram conditional log-likelihood (order-2 fluency
+    proxy) in integer micro-nats — each ln(c2/c1) term quantized
+    before summation, so the score is bit-identical across engines
+    and partitionings (operators/textstats.py bigram_logprob)."""
+    return textstats.bigram_logprob(t_spread(spark, sf, "documents"))
+
+
+BIGRAM_LOGPROB_SQL = r"""
+with toks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tk
+  from documents
+), big as (
+  select doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(tk) - 1, 0)),
+           i -> tk[i] || ' ' || tk[i+1])) as bg
+  from toks
+), c2 as (
+  select bg, count(*)::bigint as c2 from big group by bg
+), c1 as (
+  select split_part(bg, ' ', 1) as w1, count(*)::bigint as c1
+  from big group by 1
+), d as (
+  select b.doc_id, count(*)::bigint as n_bigrams,
+         sum(round(ln(c2.c2) * 1000000)::bigint
+             - round(ln(c1.c1) * 1000000)::bigint)::bigint as s
+  from big b
+  join c2 using (bg)
+  join c1 on split_part(b.bg, ' ', 1) = c1.w1
+  group by b.doc_id
+)
+select doc.doc_id,
+       coalesce(d.n_bigrams, 0)::bigint as n_bigrams,
+       coalesce(d.s, 0)::bigint as bigram_logprob_micro
+from documents doc left join d on doc.doc_id = d.doc_id
+"""
+
+
 def _trace_turns(spark, sf):
     """Shared fixture for the agent-trace queries: the flagship
     extraction's turns with tool metadata re-attached (the lean kernel
@@ -2881,6 +2922,7 @@ QUERIES = {
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),
+    "bigram_logprob": (bigram_logprob_q, BIGRAM_LOGPROB_SQL),
     "trace_stats": (trace_stats_q, TRACE_STATS_SQL),
     "role_transitions": (role_transitions_q, ROLE_TRANSITIONS_SQL),
     "sft_samples": (sft_samples_q, SFT_SAMPLES_SQL),

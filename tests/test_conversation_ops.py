@@ -363,3 +363,39 @@ def test_sft_samples_offsets_only_mode(spark):
     r = out.collect()[0]
     assert r.context_bytes == len("<|user|>\nq\n\n<|assistant|>\n")
     assert r.target_bytes == 1
+
+
+def test_bigram_logprob_exact_micro_nats(spark):
+    import math
+    from batukh_spark.operators.textstats import bigram_logprob
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    # corpus bigrams: (a b) x3, (b a) x1, (b c) x1
+    # left counts:    a->3, b->2
+    q = lambda c: round(math.log(c) * 1e6)  # noqa: E731
+    assert out[1].n_bigrams == 3
+    assert out[1].bigram_logprob_micro == (
+        2 * (q(3) - q(3)) + (q(1) - q(2)))          # ab, ba, ab
+    assert out[2].n_bigrams == 2
+    assert out[2].bigram_logprob_micro == (
+        (q(3) - q(3)) + (q(1) - q(2)))              # ab, bc
+    # < 2 tokens (and empty) survive the left join with zeros
+    assert out[3].n_bigrams == 0 and out[3].bigram_logprob_micro == 0
+    assert out[4].n_bigrams == 0 and out[4].bigram_logprob_micro == 0
+
+
+def test_bigram_logprob_flags_word_salad(spark):
+    from batukh_spark.operators.textstats import bigram_logprob
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    # same unigram bag, scrambled transitions
+    salad = "mat the on dog sat the cat rug the and on sat the"
+    corpus = spark.createDataFrame(
+        [(10 + i, fluent) for i in range(6)] + [(2, salad)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(corpus).collect()}
+    per = lambda r: r.bigram_logprob_micro / r.n_bigrams  # noqa: E731
+    # the scrambled doc's transitions are corpus-rare: per-bigram
+    # conditional log-likelihood far below the fluent copies
+    assert per(out[2]) < per(out[10]) - 300_000
