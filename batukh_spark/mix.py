@@ -107,3 +107,84 @@ def training_mix(docs: DataFrame, rates: dict[str, float],
                              id_col=id_col, text_col=text_col)
     return chunks.join(
         sampled.select(id_col, "pred_lang", "quality"), id_col)
+
+
+def sft_mix(turns: DataFrame, weights: dict[str, float],
+            salt: str = "split1",
+            train_roles: tuple[str, ...] = ("assistant",),
+            id_col: str = "conv_id",
+            order_col: str = "turn_idx",
+            role_col: str = "role",
+            text_col: str = "extracted_text",
+            sep: str = "\n\n",
+            extra_docs: DataFrame | None = None) -> DataFrame:
+    """Conversation-level SFT corpus capstone: extracted TURNS in, one
+    curated row per surviving conversation out —
+
+        turns
+          -> conversations.assemble_conversations  (role-tagged docs)
+          -> dedup.keep_set                        (exact + LSH verdict
+                                                    at CONVERSATION
+                                                    granularity)
+          -> sampling.split_assign                 (leakage-free
+                                                    train/val/test)
+          -> conversations.loss_mask_spans         (trainable-byte
+                                                    accounting)
+
+    Returns (id_col, split, n_turns, doc_bytes, n_trainable_turns,
+    trainable_bytes, trainable_frac): the manifest an SFT data loader
+    consumes — which conversations to train on, in which split, and
+    how much of each document actually carries loss.  `trainable_frac`
+    is rounded to 6 places (cross-engine float guard); a kept
+    conversation with no trainable turns survives with zeros (it still
+    occupies context as input-only material).
+
+    `extra_docs` (doc_id, text) is unioned into the DEDUP INPUT only —
+    the cross-source duplicate surface (e.g. an earlier run's docs): a
+    conversation byte-identical or near-identical to an extra doc gets
+    deduped by the same verdict, while extra docs themselves never
+    reach the output (the stats join is on this corpus's turns).
+
+    Scale: assembly is the one text-carrying shuffle; the assembled
+    docs are localCheckpointed ONCE and feed dedup + the stats join
+    (keep_set alone traverses its input three times); the split is
+    scan-local codegen; the span stats shuffle ints keyed by
+    conversation.  Every stage's deeper story is at its definition.
+    """
+    from batukh_spark.operators.conversations import (
+        assemble_conversations, loss_mask_spans)
+    from batukh_spark.operators.sampling import split_assign
+
+    docs = assemble_conversations(turns, id_col, order_col, role_col,
+                                  text_col, sep).localCheckpoint()
+    dd_in = docs.select(F.col(id_col).alias("doc_id"),
+                        F.col("doc_text").alias("text"))
+    if extra_docs is not None:
+        dd_in = dd_in.unionByName(
+            extra_docs.select("doc_id", "text"))
+    ks = dedup.keep_set(dd_in)
+    kept = (ks.filter(F.col("keep"))
+            .select(F.col("doc_id").alias(id_col)))
+    assigned = split_assign(kept, weights, key_col=id_col, salt=salt)
+    spans = loss_mask_spans(turns, train_roles, id_col, order_col,
+                            role_col, text_col, sep)
+    tstats = spans.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trainable_turns"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("long").alias("trainable_bytes"))
+    out = (assigned
+           .join(docs.select(F.col(id_col), "n_turns",
+                             F.col("n_bytes").alias("doc_bytes")),
+                 id_col)
+           .join(tstats, id_col, "left"))
+    tb = F.coalesce("trainable_bytes", F.lit(0)).cast("long")
+    frac = F.when(F.col("doc_bytes") > 0,
+                  F.round(tb / F.col("doc_bytes"), 6)) \
+        .otherwise(F.lit(0.0))
+    return out.select(
+        F.col(id_col), F.col("split"), F.col("n_turns"),
+        F.col("doc_bytes"),
+        F.coalesce("n_trainable_turns", F.lit(0)).cast("long")
+        .alias("n_trainable_turns"),
+        tb.alias("trainable_bytes"),
+        frac.alias("trainable_frac"))

@@ -2551,12 +2551,15 @@ def conversation_keep_set_q(spark, sf):
 # `base` directly
 _EXTRACT_SELECT_ONLY = EXTRACT_TRANSCRIPTS_SQL[len(_DOCSTATS_CTE):]
 
-CONVERSATION_KEEP_SET_SQL = (
+# CTE chain shared by conversation_keep_set and the sft_mix capstone:
+# extraction closed form -> assembled conversation docs (+ planted
+# twins) -> full LSH/exact dedup chain -> per-doc `verdict`
+_CONV_KEEP_CTES = (
     "with recursive "
     + _DOCSTATS_CTE.replace("with s as", "s as", 1)
     + ", base as (" + _EXTRACT_SELECT_ONLY + """)
 , conv as (
-  select conv_id as doc_id,
+  select conv_id as doc_id, count(*)::bigint as n_turns,
          string_agg('<|' || role || '|>' || chr(10) || extracted_text,
                     chr(10) || chr(10) order by turn_idx) as text,
          substring(conv_id, 2)::bigint as n
@@ -2595,7 +2598,66 @@ CONVERSATION_KEEP_SET_SQL = (
   join exact e using (text_hash)
   left join clusters c using (doc_id)
 )
-select doc_id, reason = 'unique' as keep, reason from verdict
+""")
+
+CONVERSATION_KEEP_SET_SQL = (
+    _CONV_KEEP_CTES
+    + "select doc_id, reason = 'unique' as keep, reason from verdict\n")
+
+
+def sft_mix_q(spark, sf):
+    """Conversation-level SFT capstone (mix.sft_mix): turns ->
+    assembled docs -> conversation keep_set (with the same planted
+    exact/near twins injected as `extra_docs`, so the dedup gate has
+    real work) -> leakage-free split -> trainable-byte manifest.  The
+    oracle composes the shared keep-set CTE chain with the split case
+    and a span-stats CTE; its trainable_bytes never needs offsets
+    (span_end - span_start telescopes to plen - hlen), making it an
+    independent derivation of the Spark side's windowed arithmetic."""
+    from batukh_spark.mix import sft_mix
+    ext = extract_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "role", "extracted_text")
+    from batukh_spark.operators.conversations import assemble_conversations
+    conv = assemble_conversations(ext).select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("doc_text").alias("text"),
+        F.substring("doc_id", 2, 100).cast("long").alias("__n"))
+    twins = conv.filter(F.col("__n") % 25 == 0).select(
+        F.concat("doc_id", F.lit("_x")).alias("doc_id"), "text")
+    near = conv.filter(F.col("__n") % 37 == 0).select(
+        F.concat("doc_id", F.lit("_y")).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"))
+    extra = twins.unionByName(near).localCheckpoint()
+    return sft_mix(ext, _SPLIT_WEIGHTS, extra_docs=extra)
+
+
+def _sft_mix_sql() -> str:
+    """Composed oracle: keep-set chain + split case + span stats."""
+    doc_bytes = "octet_length(encode(c.text))"
+    return (_CONV_KEEP_CTES + """
+, tstats as (
+  select conv_id,
+         count(*)::bigint as n_trainable_turns,
+         sum(strlen('<|' || role || '|>' || chr(10) || extracted_text)
+             - strlen('<|' || role || '|>') - 1)::bigint
+           as trainable_bytes
+  from base where role = 'assistant' group by conv_id
+)
+select v.doc_id as conv_id,
+       """ + _split_case_sql("v.doc_id", _SPLIT_WEIGHTS, "split1")
+            + f""" as split,
+       c.n_turns,
+       {doc_bytes}::bigint as doc_bytes,
+       coalesce(t.n_trainable_turns, 0)::bigint as n_trainable_turns,
+       coalesce(t.trainable_bytes, 0)::bigint as trainable_bytes,
+       case when {doc_bytes} > 0
+            then round(coalesce(t.trainable_bytes, 0)
+                       / {doc_bytes}, 6)
+            else 0.0 end as trainable_frac
+from verdict v
+join conv c on c.doc_id = v.doc_id
+left join tstats t on t.conv_id = v.doc_id
+where v.reason = 'unique'
 """)
 
 
@@ -2923,6 +2985,7 @@ QUERIES = {
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),
     "bigram_logprob": (bigram_logprob_q, BIGRAM_LOGPROB_SQL),
+    "sft_mix": (sft_mix_q, _sft_mix_sql()),
     "trace_stats": (trace_stats_q, TRACE_STATS_SQL),
     "role_transitions": (role_transitions_q, ROLE_TRANSITIONS_SQL),
     "sft_samples": (sft_samples_q, SFT_SAMPLES_SQL),

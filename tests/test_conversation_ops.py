@@ -399,3 +399,52 @@ def test_bigram_logprob_flags_word_salad(spark):
     # the scrambled doc's transitions are corpus-rare: per-bigram
     # conditional log-likelihood far below the fluent copies
     assert per(out[2]) < per(out[10]) - 300_000
+
+
+def test_sft_mix_end_to_end(spark):
+    from batukh_spark.mix import sft_mix
+    turns = _turns(spark, [
+        # c1: normal 3-turn conversation
+        ("c1", 0, "user", "please summarize the quarterly report"),
+        ("c1", 1, "assistant", "the quarter closed well above plan"),
+        ("c1", 2, "user", "thanks"),
+        # c2: byte-identical twin of c1 (assembles to the same doc)
+        ("c2", 0, "user", "please summarize the quarterly report"),
+        ("c2", 1, "assistant", "the quarter closed well above plan"),
+        ("c2", 2, "user", "thanks"),
+        # c3: no assistant turn at all
+        ("c3", 0, "user", "ping"),
+        ("c3", 1, "tool", "RESULT ok"),
+    ])
+    out = {r.conv_id: r for r in
+           sft_mix(turns, {"train": 0.9, "val": 0.1}).collect()}
+    # exact-dup conversation dropped, keeper survives
+    assert "c1" in out and "c2" not in out
+    r1 = out["c1"]
+    assert r1.split in ("train", "val")
+    assert r1.n_turns == 3
+    assert r1.n_trainable_turns == 1
+    assert r1.trainable_bytes == len("the quarter closed well above plan")
+    assert 0 < r1.trainable_frac < 1
+    # conversation with no trainable turns survives with zeros
+    r3 = out["c3"]
+    assert r3.n_trainable_turns == 0 and r3.trainable_bytes == 0
+    assert r3.trainable_frac == 0.0
+
+
+def test_sft_mix_extra_docs_dedup_surface(spark):
+    from batukh_spark.mix import sft_mix
+    turns = _turns(spark, [
+        ("c1", 0, "user", "hello there"),
+        ("c1", 1, "assistant", "hi, how can i help"),
+    ])
+    # an earlier run already contains this conversation's document,
+    # under an id that sorts BEFORE c1 -> c1 must be dropped
+    prior = spark.createDataFrame(
+        [("a0", "<|user|>\nhello there\n\n<|assistant|>\nhi, how can i help")],
+        "doc_id string, text string")
+    out = sft_mix(turns, {"train": 1.0}, extra_docs=prior).collect()
+    assert out == []          # c1 deduped; a0 itself never reaches output
+    # without the prior corpus, c1 survives
+    out2 = sft_mix(turns, {"train": 1.0}).collect()
+    assert [r.conv_id for r in out2] == ["c1"]
