@@ -342,3 +342,76 @@ def sft_samples(turns: DataFrame,
         .alias("target_bytes"),
         ctx.alias("context_text"),
         tgt.alias("target_text"))
+
+
+def packed_loss_masks(turns: DataFrame, seq_len: int = 256,
+                      train_roles: tuple[str, ...] = ("assistant",),
+                      id_col: str = "conv_id",
+                      order_col: str = "turn_idx",
+                      role_col: str = "role",
+                      text_col: str = "extracted_text") -> DataFrame:
+    """Loss masks in PACKED-SEQUENCE token space — the last alignment
+    step of the SFT path: `loss_mask_spans` gives byte spans in the
+    assembled document, but a trainer consuming `pack_sequences`
+    output needs, for every packed sequence, which TOKEN positions
+    carry loss.  This operator maps each trainable turn through
+    assembly and concat-and-split packing in one job.
+
+    Token model: whitespace tokens of the assembled document.  Piece
+    serialization makes per-turn token counts exact WITHOUT assembling
+    text: ``<|role|>\\n<text>`` contributes 1 header token plus the
+    turn's own whitespace tokens (the header contains no whitespace;
+    the trailing newline and the ``\\n\\n`` separator guarantee no
+    token ever merges across the boundary).  A turn's trainable range
+    excludes its header token.  Packing is `text.pack_sequences` over
+    one row per conversation (whole conversations enter the stream in
+    conv-id order — the SFT analogue of chunk packing).
+
+    Returns one row per (trainable turn x packed sequence) overlap:
+      (id_col, order_col, role, seq_id, seq_start, seq_end)
+    with [seq_start, seq_end) the in-sequence token positions of that
+    turn's tokens inside seq_id.  A trainable turn that extracted to
+    '' has an empty token range and yields no row (its BYTE span in
+    `loss_mask_spans` still exists — byte accounting and token
+    masking legitimately differ on empty turns).
+
+    Scale: everything after the scan is int arithmetic — per-turn
+    token counts are scan-local; turn offsets are a window over
+    (id_col ORDER BY order_col); conversation totals feed the
+    distributed-prefix-sum packer (no SinglePartition stage, k-row
+    planning collect only); the final overlap join is keyed on id_col
+    with per-conversation fan-out bounded by n_turns x n_sequences.
+    Document text never shuffles, and no text is ever assembled.
+    """
+    from batukh_spark.operators.text import pack_sequences, tokens_col
+
+    role_ = F.coalesce(F.col(role_col), F.lit(""))
+    ntext = F.size(tokens_col(F.coalesce(F.col(text_col), F.lit(""))))
+    pt = turns.select(
+        F.col(id_col), F.col(order_col), role_.alias("role"),
+        ntext.cast("long").alias("__ntext"),
+        (ntext + 1).cast("long").alias("__ptoks"))
+    w = (Window.partitionBy(id_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    off = pt.withColumn(
+        "__a", F.coalesce(F.sum("__ptoks").over(w), F.lit(0)))
+    trainable = (off.filter(F.col("role").isin(*train_roles))
+                 .select(F.col(id_col), F.col(order_col), F.col("role"),
+                         (F.col("__a") + 1).alias("__ta"),
+                         (F.col("__a") + 1 + F.col("__ntext"))
+                         .alias("__tb")))
+    convtot = (pt.groupBy(F.col(id_col))
+               .agg(F.sum("__ptoks").alias("n_tokens"))
+               .withColumn("chunk_idx", F.lit(0)))
+    overlaps = pack_sequences(convtot, seq_len, doc_col=id_col,
+                              idx_col="chunk_idx")
+    lo = F.greatest(F.col("__ta"), F.col("tok_begin"))
+    hi = F.least(F.col("__tb"), F.col("tok_end"))
+    return (trainable.join(overlaps, id_col)
+            .filter(lo < hi)
+            .select(F.col(id_col), F.col(order_col), F.col("role"),
+                    F.col("seq_id"),
+                    (F.col("seq_pos") + lo - F.col("tok_begin"))
+                    .cast("long").alias("seq_start"),
+                    (F.col("seq_pos") + hi - F.col("tok_begin"))
+                    .cast("long").alias("seq_end")))

@@ -2724,6 +2724,68 @@ from o where tokens_before < 2000
 """
 
 
+def packed_loss_masks_q(spark, sf):
+    """Packed-sequence loss masks over the flagship turns at
+    seq_len=128 (small enough that conversations straddle sequence
+    boundaries, so mask spans genuinely split across packed rows) —
+    operators/conversations.packed_loss_masks.  The oracle replays
+    the whole chain in SQL: per-turn token counts -> per-conversation
+    window offsets -> conversation stream prefix sum -> generate_series
+    sequence overlaps -> interval intersection."""
+    from batukh_spark.operators.conversations import packed_loss_masks
+    ext = extract_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "role", "extracted_text")
+    return packed_loss_masks(ext, seq_len=128)
+
+
+_PLM_L = 128
+PACKED_LOSS_MASKS_SQL = (
+    "with base as (" + EXTRACT_TRANSCRIPTS_SQL + r""")
+, pt as (
+  select conv_id, turn_idx, role,
+         len(list_filter(regexp_split_to_array(extracted_text, '\s+'),
+                         x -> x <> ''))::bigint as ntext
+  from base
+), off as (
+  select conv_id, turn_idx, role, ntext,
+         coalesce(sum(ntext + 1) over (
+             partition by conv_id order by turn_idx
+             rows between unbounded preceding and 1 preceding),
+           0)::bigint as a
+  from pt
+), convtot as (
+  select conv_id, sum(ntext + 1)::bigint as tot from pt group by conv_id
+), stream as (
+  select conv_id, tot,
+         coalesce(sum(tot) over (
+             order by conv_id
+             rows between unbounded preceding and 1 preceding),
+           0)::bigint as g
+  from convtot
+), ov as (
+  select conv_id, s as seq_id,
+         greatest(g, s * {L}) - g as tok_begin,
+         least(g + tot, (s + 1) * {L}) - g as tok_end,
+         greatest(g, s * {L}) - s * {L} as seq_pos
+  from (select conv_id, tot, g,
+               unnest(generate_series(g // {L}, (g + tot - 1) // {L}))
+                 as s
+        from stream where tot > 0)
+), tr as (
+  select conv_id, turn_idx, role,
+         a + 1 as ta, a + 1 + ntext as tb
+  from off where role = 'assistant'
+)
+select t.conv_id, t.turn_idx, t.role, o.seq_id,
+       (o.seq_pos + greatest(t.ta, o.tok_begin) - o.tok_begin)::bigint
+         as seq_start,
+       (o.seq_pos + least(t.tb, o.tok_end) - o.tok_begin)::bigint
+         as seq_end
+from tr t join ov o on o.conv_id = t.conv_id
+where greatest(t.ta, o.tok_begin) < least(t.tb, o.tok_end)
+""").replace("{L}", str(_PLM_L))
+
+
 def bigram_logprob_q(spark, sf):
     """Corpus-bigram conditional log-likelihood (order-2 fluency
     proxy) in integer micro-nats — each ln(c2/c1) term quantized
@@ -2986,6 +3048,7 @@ QUERIES = {
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),
     "bigram_logprob": (bigram_logprob_q, BIGRAM_LOGPROB_SQL),
     "sft_mix": (sft_mix_q, _sft_mix_sql()),
+    "packed_loss_masks": (packed_loss_masks_q, PACKED_LOSS_MASKS_SQL),
     "trace_stats": (trace_stats_q, TRACE_STATS_SQL),
     "role_transitions": (role_transitions_q, ROLE_TRANSITIONS_SQL),
     "sft_samples": (sft_samples_q, SFT_SAMPLES_SQL),

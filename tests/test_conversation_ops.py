@@ -448,3 +448,65 @@ def test_sft_mix_extra_docs_dedup_surface(spark):
     # without the prior corpus, c1 survives
     out2 = sft_mix(turns, {"train": 1.0}).collect()
     assert [r.conv_id for r in out2] == ["c1"]
+
+
+def test_packed_loss_masks_reconstruct_tokens(spark):
+    """Slicing each packed sequence's token stream at every mask span
+    must recover EXACTLY the trainable turns' tokens — across
+    sequence boundaries, with headers and non-trainable turns masked
+    out."""
+    from batukh_spark.operators.conversations import packed_loss_masks
+    rows = [
+        ("c1", 0, "user", "alpha beta gamma delta"),
+        ("c1", 1, "assistant", "one two three four five six"),
+        ("c1", 2, "user", "epsilon"),
+        ("c1", 3, "assistant", "seven eight"),
+        ("c2", 0, "user", "zeta eta"),
+        ("c2", 1, "assistant", "nine ten eleven"),
+    ]
+    df = _turns(spark, rows)
+    L = 8  # tiny: forces straddling
+    out = packed_loss_masks(df, seq_len=L).collect()
+
+    # build the reference packed stream in plain python
+    pieces = {}
+    for cid, tid, role, text in rows:
+        pieces.setdefault(cid, []).append((tid, role, text))
+    stream = []
+    for cid in sorted(pieces):
+        for tid, role, text in sorted(pieces[cid]):
+            stream.append(f"<|{role}|>")
+            stream.extend(text.lower().split())
+    seqs = {s: stream[s * L:(s + 1) * L]
+            for s in range(-(-len(stream) // L))}
+
+    got = {}
+    for r in out:
+        toks = seqs[r.seq_id][r.seq_start:r.seq_end]
+        got.setdefault((r.conv_id, r.turn_idx), []).extend(
+            (r.seq_id, r.seq_start + i, t) for i, t in enumerate(toks))
+    # every trainable turn's tokens, in order, nothing else
+    want_keys = {(cid, tid) for cid, tid, role, _ in rows
+                 if role == "assistant"}
+    assert set(got) == want_keys
+    by_turn = {(cid, tid): text.lower().split()
+               for cid, tid, role, text in rows if role == "assistant"}
+    for key, pieces_got in got.items():
+        toks = [t for _, _, t in sorted(pieces_got)]
+        assert toks == by_turn[key], key
+    # total masked positions == total trainable tokens
+    assert sum(r.seq_end - r.seq_start for r in out) == \
+        sum(len(v) for v in by_turn.values())
+
+
+def test_packed_loss_masks_empty_turn_and_bounds(spark):
+    from batukh_spark.operators.conversations import packed_loss_masks
+    df = _turns(spark, [
+        ("c1", 0, "user", "q"),
+        ("c1", 1, "assistant", ""),        # empty: no mask row
+        ("c1", 2, "assistant", "ans"),
+    ])
+    out = packed_loss_masks(df, seq_len=4).collect()
+    assert [(r.turn_idx) for r in out] == [2]
+    r = out[0]
+    assert 0 <= r.seq_start < r.seq_end <= 4
