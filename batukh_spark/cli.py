@@ -46,7 +46,7 @@ def main(argv=None) -> int:
     p.add_argument("--parallelism", type=int, default=None,
                    help="local[N] cores (ignored on a real cluster)")
     p.add_argument("--job",
-                   choices=["extract", "mix", "batches", "convdocs"],
+                   choices=["extract", "mix", "batches", "convdocs", "sft"],
                    default="extract",
                    help="extract (default) | mix (training-chunk rows "
                         "from an extraction output) | batches (packed "
@@ -63,6 +63,8 @@ def main(argv=None) -> int:
     p.add_argument("--benchmark", default=None,
                    help="parquet/table of eval texts (column 'text'); "
                         "when given, the mix decontaminates against it")
+    p.add_argument("--split-weights", default='{"train": 0.9, "val": 0.05, "test": 0.05}',
+                   help="JSON split->weight for --job sft")
     p.add_argument("--keep-unknown-lang", action="store_true",
                    help="keep docs with no language verdict (bucketed "
                         "under the 'und' stratum) instead of dropping "
@@ -131,6 +133,21 @@ def _run_training_job(spark, args) -> dict:
         n_rows = _write_table(spark, out, args.output)
         return {"job": args.job, "rows_out": n_rows,
                 "wall_s": time.time() - t0}
+    if args.job == "sft":
+        # conversation-level SFT corpus: the keep/split/trainable-byte
+        # manifest plus packed-sequence loss masks, one run
+        import os as _os
+
+        from batukh_spark.mix import sft_mix
+        from batukh_spark.operators.conversations import packed_loss_masks
+        manifest = sft_mix(ext, weights=json.loads(args.split_weights))
+        masks = packed_loss_masks(ext, seq_len=args.seq_len)
+        n_manifest = _write_table(
+            spark, manifest, _os.path.join(args.output, "manifest"))
+        n_masks = _write_table(
+            spark, masks, _os.path.join(args.output, "masks"))
+        return {"job": args.job, "rows_out": n_manifest,
+                "mask_rows": n_masks, "wall_s": time.time() - t0}
     docs = ext.select(
         F.concat_ws("#", F.col("conv_id"),
                     F.col("turn_idx").cast("string")).alias("doc_id"),

@@ -77,3 +77,42 @@ def test_cli_extract_mix_batches(tmp_path):
         f"where n_tokens <> 96 and seq_id <> (select max(seq_id) from "
         f"read_parquet('{batches}/*.parquet'))").fetchone()[0]
     assert n_bad == 0
+
+
+def test_cli_sft_job(tmp_path):
+    ext = str(tmp_path / "ext")
+    sft = str(tmp_path / "sft")
+
+    s0 = _run(["--synthesize", "40", "--output", ext,
+               "--metrics", str(tmp_path / "m"),
+               "--n-units", "4", "--parallelism", "8"])
+    assert s0["units_completed"] == 4
+
+    s1 = _run(["--job", "sft", "--input", ext, "--output", sft,
+               "--seq-len", "128", "--parallelism", "8"])
+    assert s1["job"] == "sft"
+    assert s1["rows_out"] > 0 and s1["mask_rows"] > 0
+
+    con = duckdb.connect()
+    # manifest: one row per kept conversation, every split valid,
+    # trainable accounting internally consistent
+    rows = con.execute(
+        f"select count(*), count(distinct conv_id), "
+        f"sum(case when split not in ('train','val','test') "
+        f"    then 1 else 0 end), "
+        f"sum(case when trainable_bytes > doc_bytes then 1 else 0 end) "
+        f"from read_parquet('{sft}/manifest/*.parquet')").fetchone()
+    assert rows[0] == rows[1] and rows[2] == 0 and rows[3] == 0
+    # masks: spans inside [0, seq_len), non-empty, trainable role only
+    bad = con.execute(
+        f"select count(*) from read_parquet('{sft}/masks/*.parquet') "
+        f"where seq_start < 0 or seq_end > 128 or seq_start >= seq_end "
+        f"   or role <> 'assistant'").fetchone()[0]
+    assert bad == 0
+    # every masked conversation exists in the extraction
+    missing = con.execute(
+        f"select count(*) from read_parquet('{sft}/masks/*.parquet') m "
+        f"where not exists (select 1 from "
+        f"read_parquet('{ext}/*/*.parquet', hive_partitioning=1) e "
+        f"where e.conv_id = m.conv_id)").fetchone()[0]
+    assert missing == 0
