@@ -171,3 +171,30 @@ def split_assign(rows: DataFrame, weights: dict[str, float],
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return rows.withColumn("split", split)
+
+
+def best_of_n(cands, group_col: str = "group_id",
+              score_col: str = "score", id_col: str = "cand_id"):
+    """Best-of-n selection: keep the highest-scoring candidate per
+    group — the RLHF-style rejection-sampling step (n sampled
+    responses per prompt, a scorer ranks them, the winner enters the
+    training set).  The scorer is whatever produced `score_col`
+    (quality_score, a logprob, a reward model's output); this operator
+    is only the deterministic argmax.
+
+    Returns (group_col, id_col, score_col), one row per group.
+    Tie-break is total and deterministic: highest score, then highest
+    `id_col` (struct ordering), so retries and repartitions never
+    flip a winner.
+
+    Scale: ONE groupBy over max(struct(score, id)) — a codegen'd
+    aggregate with map-side partials, so each group's candidates
+    collapse before the shuffle (a window row_number would shuffle
+    every candidate row and support no partial aggregation).
+    """
+    best = cands.groupBy(F.col(group_col)).agg(
+        F.max(F.struct(F.col(score_col).alias("s"),
+                       F.col(id_col).alias("i"))).alias("__b"))
+    return best.select(F.col(group_col),
+                       F.col("__b.i").alias(id_col),
+                       F.col("__b.s").alias(score_col))

@@ -2724,6 +2724,73 @@ from o where tokens_before < 2000
 """
 
 
+def best_of_n_q(spark, sf):
+    """Rejection sampling over response candidates: each conversation's
+    assistant turn spawns three candidates (original, half-truncation,
+    self-repetition), `quality_score` ranks them, and
+    sampling.best_of_n keeps the deterministic argmax per
+    conversation.  The oracle recomputes the same candidates, scores
+    them through the shared quality CTE generator, and picks the same
+    (quality desc, cand_id desc) winner."""
+    from batukh_spark.operators.sampling import best_of_n
+    ext = (extract_transcripts(spark, sf)
+           .filter(F.col("turn_idx") == 1)
+           .select("conv_id", "extracted_text"))
+    from batukh_spark.operators.text import tokens_col
+    tk = tokens_col("extracted_text")
+    half = F.array_join(
+        F.slice(tk, 1, F.greatest(F.floor(F.size(tk) / 2), F.lit(1))
+                .cast("int")), " ")
+    c0 = ext.select(F.col("conv_id"),
+                    F.concat("conv_id", F.lit("#0")).alias("cand_id"),
+                    F.col("extracted_text").alias("text"))
+    c1 = ext.select(F.col("conv_id"),
+                    F.concat("conv_id", F.lit("#1")).alias("cand_id"),
+                    half.alias("text"))
+    c2 = ext.select(F.col("conv_id"),
+                    F.concat("conv_id", F.lit("#2")).alias("cand_id"),
+                    F.concat("extracted_text", F.lit("\n"),
+                             "extracted_text").alias("text"))
+    cands = c0.unionByName(c1).unionByName(c2).localCheckpoint()
+    scored = textstats.quality_score(cands, "cand_id", "text") \
+        .select("cand_id", "quality")
+    full = cands.select("conv_id", "cand_id").join(scored, "cand_id")
+    return best_of_n(full, group_col="conv_id", score_col="quality",
+                     id_col="cand_id")
+
+
+BEST_OF_N_SQL = (
+    "with base as (" + EXTRACT_TRANSCRIPTS_SQL + r""")
+, src as (
+  select conv_id, conv_id || '#0' as doc_id, extracted_text as text
+  from base where turn_idx = 1
+  union all
+  select conv_id, conv_id || '#1',
+         array_to_string(
+           (list_filter(regexp_split_to_array(lower(extracted_text),
+                                              '\s+'), x -> x <> ''))
+           [1:greatest(len(list_filter(regexp_split_to_array(
+                lower(extracted_text), '\s+'), x -> x <> '')) // 2, 1)],
+           ' ')
+  from base where turn_idx = 1
+  union all
+  select conv_id, conv_id || '#2',
+         extracted_text || chr(10) || extracted_text
+  from base where turn_idx = 1
+), cand as (select doc_id, text from src)
+, """ + _quality_cte("cand") + """
+, scored as (
+  select s.conv_id, q.doc_id as cand_id, q.quality
+  from qual q join src s on s.doc_id = q.doc_id
+), rk as (
+  select *, row_number() over (partition by conv_id
+                               order by quality desc, cand_id desc) as rn
+  from scored
+)
+select conv_id, cand_id, quality from rk where rn = 1
+""")
+
+
 def packed_loss_masks_q(spark, sf):
     """Packed-sequence loss masks over the flagship turns at
     seq_len=128 (small enough that conversations straddle sequence
@@ -3049,6 +3116,7 @@ QUERIES = {
     "bigram_logprob": (bigram_logprob_q, BIGRAM_LOGPROB_SQL),
     "sft_mix": (sft_mix_q, _sft_mix_sql()),
     "packed_loss_masks": (packed_loss_masks_q, PACKED_LOSS_MASKS_SQL),
+    "best_of_n": (best_of_n_q, BEST_OF_N_SQL),
     "trace_stats": (trace_stats_q, TRACE_STATS_SQL),
     "role_transitions": (role_transitions_q, ROLE_TRANSITIONS_SQL),
     "sft_samples": (sft_samples_q, SFT_SAMPLES_SQL),

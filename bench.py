@@ -76,7 +76,7 @@ BENCH_QUERIES = [
     "boilerplate_turns", "repetition_loops", "train_val_split",
     "token_budget_sample", "epoch_order", "unigram_logprob",
     "trace_stats", "role_transitions", "sft_samples",
-    "bigram_logprob", "sft_mix", "packed_loss_masks",
+    "bigram_logprob", "sft_mix", "packed_loss_masks", "best_of_n",
 ]
 # srp_recall is excluded: its brute-force TRUTH SET is intentionally
 # all-pairs (it exists to measure the banded path's recall) and runs at

@@ -510,3 +510,19 @@ def test_packed_loss_masks_empty_turn_and_bounds(spark):
     assert [(r.turn_idx) for r in out] == [2]
     r = out[0]
     assert 0 <= r.seq_start < r.seq_end <= 4
+
+
+def test_best_of_n_argmax_and_tiebreak(spark):
+    from batukh_spark.operators.sampling import best_of_n
+    df = spark.createDataFrame(
+        [("g1", "a", 0.5), ("g1", "b", 0.9), ("g1", "c", 0.9),
+         ("g2", "x", 0.1)],
+        "group_id string, cand_id string, score double")
+    out = {r.group_id: r for r in best_of_n(df).collect()}
+    # highest score wins; exact tie -> highest cand_id, deterministically
+    assert out["g1"].cand_id == "c" and out["g1"].score == 0.9
+    assert out["g2"].cand_id == "x"
+    # invariant under partitioning
+    out2 = {r.group_id: r.cand_id
+            for r in best_of_n(df.repartition(7)).collect()}
+    assert out2 == {g: r.cand_id for g, r in out.items()}
