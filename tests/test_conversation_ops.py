@@ -526,3 +526,56 @@ def test_best_of_n_argmax_and_tiebreak(spark):
     out2 = {r.group_id: r.cand_id
             for r in best_of_n(df.repartition(7)).collect()}
     assert out2 == {g: r.cand_id for g, r in out.items()}
+
+
+def test_packed_loss_masks_plan_properties(spark):
+    """The mask chain must stay distributed: the turn-offset window is
+    conversation-keyed, the packer's window is partition-id-keyed, and
+    nothing serializes onto a single partition."""
+    from batukh_spark.operators.conversations import packed_loss_masks
+    df = _turns(spark, [(f"c{i}", j, "assistant" if j % 2 else "user",
+                         "some words here")
+                        for i in range(20) for j in range(4)])
+    plan = (packed_loss_masks(df, seq_len=16)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(conv_id" in plan
+    # the packer's broadcast offsets join must not degrade to shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_trace_stats_shuffle_plan(spark):
+    """trace_stats plans as the standard two-phase distinct aggregate:
+    a partial on (conv, tool) below the first exchange (so each
+    conversation's turns collapse map-side), then the per-conv merge —
+    the second exchange carries ONE row per (conv, tool), never turns.
+    Nothing keys on anything but the conversation."""
+    from batukh_spark.operators.conversations import trace_stats
+    df = _tool_turns(spark, [("c1", 0, "tool", "RESULT ok", "search")])
+    plan = (trace_stats(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan  # map-side partials before any shuffle
+    assert "SinglePartition" not in plan
+
+
+def test_packed_loss_masks_mega_conversation(spark):
+    """A pathological mega-conversation (5k turns) must pack correctly
+    and stay bounded: per-row state is ints only, never assembled
+    text.  Every one of its trainable tokens lands in exactly one
+    mask position."""
+    from batukh_spark.operators.conversations import packed_loss_masks
+    n = 5000
+    rows = [("mega", j, "assistant" if j % 2 else "user",
+             "tok0 tok1 tok2 tok3 tok4") for j in range(n)]
+    out = packed_loss_masks(_turns(spark, rows), seq_len=256).collect()
+    # (6 tokens per piece) * 2500 assistant turns, 5 trainable each
+    assert sum(r.seq_end - r.seq_start for r in out) == 2500 * 5
+    assert all(0 <= r.seq_start < r.seq_end <= 256 for r in out)
+    # spans never overlap within one sequence
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append((r.seq_start, r.seq_end))
+    for spans in by_seq.values():
+        spans.sort()
+        assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
