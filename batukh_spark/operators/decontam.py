@@ -76,3 +76,56 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     .alias("contaminated"),
                     F.coalesce(F.col("__n_hits"), F.lit(0))
                     .cast("long").alias("n_hits")))
+
+
+def split_leakage(rows: DataFrame, n: int = N_DECONTAM,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  split_col: str = "split",
+                  train_split: str = "train") -> DataFrame:
+    """Audit n-gram leakage from the train split into every other
+    split — the post-hoc check that a train/val/test assignment (plus
+    whatever dedup preceded it) actually left no long-overlap pairs
+    straddling the boundary.  `split_assign` prevents WITHIN-group
+    leakage by construction; this catches the cross-group kind it
+    cannot see (near-identical documents with different keys).
+
+    Returns one row per NON-train doc: (id_col, split_col, leaked:
+    bool, n_hits: long) where n_hits counts the doc's distinct
+    n-token grams that also occur anywhere in the train split.
+
+    Scale: unlike `decontaminate` (tiny benchmark side -> broadcast),
+    BOTH sides here are corpus-scale, so the gram join is a plain
+    shuffle hash join — but each side ships 32-byte hashes only
+    ((gram_hash) for train after a global distinct, (id, gram_hash)
+    for eval), never text; hit counts aggregate per doc with map-side
+    partials, and the verdict join back is a key join on the eval
+    split's ids (the small minority of the corpus).
+    """
+    if not (isinstance(n, int) and n >= 2):
+        raise ValueError(f"n must be an int >= 2, got {n!r}")
+
+    def grams(side):
+        return (side
+                .select(F.col(id_col), F.col(split_col),
+                        tokens_col(text_col).alias("__tk"))
+                .select(F.col(id_col), F.col(split_col),
+                        F.explode(F.array_distinct(
+                            word_shingles(F.col("__tk"), n)))
+                        .alias("g"))
+                .select(F.col(id_col), F.col(split_col),
+                        F.md5("g").alias("gram_hash")))
+
+    is_train = F.col(split_col) == train_split
+    tgrams = (grams(rows.filter(is_train))
+              .select("gram_hash").distinct())
+    egrams = grams(rows.filter(~is_train))
+    hits = (egrams.join(tgrams, "gram_hash")
+            .groupBy(id_col, split_col)
+            .agg(F.count(F.lit(1)).alias("__n_hits")))
+    return (rows.filter(~is_train).select(F.col(id_col), F.col(split_col))
+            .join(hits, [id_col, split_col], "left")
+            .select(F.col(id_col), F.col(split_col),
+                    (F.coalesce(F.col("__n_hits"), F.lit(0)) > 0)
+                    .alias("leaked"),
+                    F.coalesce(F.col("__n_hits"), F.lit(0))
+                    .cast("long").alias("n_hits")))

@@ -198,3 +198,109 @@ def best_of_n(cands, group_col: str = "group_id",
     return best.select(F.col(group_col),
                        F.col("__b.i").alias(id_col),
                        F.col("__b.s").alias(score_col))
+
+
+def preference_pairs(cands, group_col: str = "group_id",
+                     score_col: str = "score", id_col: str = "cand_id",
+                     min_margin: float = 0.0):
+    """Preference-pair construction for DPO/RLHF reward training: per
+    group, pair the best-scoring candidate (chosen) with the
+    worst-scoring one (rejected).  The scorer is whatever produced
+    `score_col`; this operator is only the deterministic extremes.
+
+    Tie-breaks mirror `best_of_n` exactly: chosen = max by
+    (score, id), rejected = min by (score, id) — struct ordering, so
+    the winner best_of_n picks is always this pair's chosen side.
+    Groups whose margin (chosen - rejected score) is not strictly
+    above `min_margin` are dropped: an all-tied group carries no
+    preference signal, and the strict inequality also guarantees
+    chosen_id != rejected_id.
+
+    Returns (group_col, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin), at most one row per group.
+
+    Scale: ONE groupBy computing max(struct) and min(struct) in the
+    same aggregate — codegen'd, map-side partials, so candidates
+    collapse to two structs per group before the shuffle; the margin
+    filter is a post-aggregate projection, no extra pass.
+    """
+    agg = cands.groupBy(F.col(group_col)).agg(
+        F.max(F.struct(F.col(score_col).alias("s"),
+                       F.col(id_col).alias("i"))).alias("__hi"),
+        F.min(F.struct(F.col(score_col).alias("s"),
+                       F.col(id_col).alias("i"))).alias("__lo"))
+    out = agg.select(
+        F.col(group_col),
+        F.col("__hi.i").alias("chosen_id"),
+        F.col("__lo.i").alias("rejected_id"),
+        F.col("__hi.s").alias("chosen_score"),
+        F.col("__lo.s").alias("rejected_score"),
+        (F.col("__hi.s") - F.col("__lo.s")).alias("margin"))
+    return out.filter(F.col("margin") > F.lit(float(min_margin)))
+
+
+def temperature_rates(docs, target: int, alpha: float = 0.5,
+                      domain_col: str = "lang",
+                      id_col: str = "doc_id"):
+    """Temperature-scaled domain mixing rates (the multilingual-
+    pretraining scheme: sampling probability p_d proportional to
+    n_d^alpha, alpha < 1 up-weighting small domains).  Given a target
+    corpus size, each domain's per-doc keep rate is
+
+        rate_d = min(1, target * p_d / n_d),   p_d = w_d / sum(w)
+
+    Returns one row per domain: (domain_col, n_docs, weight, rate).
+
+    Cross-engine determinism: the alpha-power weight is quantized to
+    an integer (floor(n^alpha * 1e6)) BEFORE the normalizing sum, so
+    the sum is order-independent — float sums are not, and a last-ULP
+    difference in `sum(w)` would flip hash-gate thresholds between
+    engines/retries.
+
+    Scale: one count aggregate (map-side partials, k domain rows),
+    then arithmetic on the k-row table.  No corpus bytes move.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha!r}")
+    if target <= 0:
+        raise ValueError(f"target must be positive, got {target!r}")
+    counts = docs.groupBy(F.col(domain_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    w = F.floor(F.pow(F.col("n_docs").cast("double"),
+                      F.lit(float(alpha))) * 1e6).cast("long")
+    wtab = counts.select(F.col(domain_col), F.col("n_docs"),
+                         w.alias("weight"))
+    tot = wtab.agg(F.sum("weight").alias("__tot"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(target)) * F.col("weight")) /
+        (F.col("__tot").cast("double") * F.col("n_docs").cast("double")))
+    return (wtab.crossJoin(F.broadcast(tot))
+            .select(F.col(domain_col), F.col("n_docs").cast("long")
+                    .alias("n_docs"), F.col("weight"),
+                    rate.alias("rate")))
+
+
+def temperature_sample(docs, target: int, alpha: float = 0.5,
+                       domain_col: str = "lang",
+                       id_col: str = "doc_id",
+                       salt: str = "temp1"):
+    """Hash-gated Bernoulli draw at each domain's temperature rate:
+    ~target docs kept in expectation, small domains up-weighted by
+    alpha.  Deterministic under any partitioning (same corpus + salt
+    -> same sample); change `salt` for an independent draw.
+
+    Scale: the k-row rate table broadcasts onto the scan; the gate is
+    a codegen'd expression — no corpus shuffle at all.
+    """
+    rates = temperature_rates(docs, target, alpha, domain_col, id_col)
+    thrn = F.floor(F.col("rate") * 65536).cast("long")
+    thr = (F.when(thrn >= 65536, F.lit("zzzz"))
+           .otherwise(F.lpad(F.lower(F.hex(thrn)), 4, "0")))
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        1, 4)
+    return (docs.join(F.broadcast(rates.select(F.col(domain_col), "rate")),
+                      domain_col)
+            .filter(h < thr)
+            .select(F.col(id_col), F.col(domain_col)))

@@ -1279,6 +1279,55 @@ where substr(md5('mix1:' || doc_id::varchar), 1, 4) <
 """
 
 
+def temperature_rates_q(spark, sf):
+    """Temperature-scaled (alpha = 0.5) domain mixing rates over the
+    documents' language distribution, target 200 docs —
+    operators/sampling.temperature_rates.  The en-heavy corpus gets
+    its big domain down-weighted relative to proportional sampling;
+    the integer-quantized weights make the normalizing sum
+    order-independent, so the oracle reproduces rates bit-for-bit."""
+    from batukh_spark.operators.sampling import temperature_rates
+    return temperature_rates(t_spread(spark, sf, "documents"),
+                             target=200, alpha=0.5)
+
+
+_TEMP_RATES_CTE = """
+c as (select lang, count(*) as n_docs from documents group by lang),
+w as (select lang, n_docs,
+             floor(pow(n_docs::double, 0.5) * 1e6)::bigint as weight
+      from c),
+t as (select sum(weight) as tot from w),
+r as (select lang, n_docs, weight,
+             least(1.0, (200.0 * weight) /
+                        (tot::double * n_docs::double)) as rate
+      from w, t)
+"""
+
+TEMPERATURE_RATES_SQL = (
+    "with " + _TEMP_RATES_CTE
+    + "select lang, n_docs::bigint as n_docs, weight, rate from r")
+
+
+def temperature_sample_q(spark, sf):
+    """The hash-gated Bernoulli draw at the temperature rates: ~200
+    docs in expectation, small languages up-weighted.  The oracle
+    recomputes the rate CTE and applies the same md5 gate with the
+    same floor-quantized threshold string."""
+    from batukh_spark.operators.sampling import temperature_sample
+    return temperature_sample(t_spread(spark, sf, "documents"),
+                              target=200, alpha=0.5)
+
+
+TEMPERATURE_SAMPLE_SQL = (
+    "with " + _TEMP_RATES_CTE + """
+select d.doc_id, d.lang from documents d join r using (lang)
+where substr(md5('temp1:' || d.doc_id::varchar), 1, 4) <
+      case when floor(rate * 65536)::bigint >= 65536 then 'zzzz'
+           else lpad(lower(to_hex(floor(rate * 65536)::bigint)), 4, '0')
+      end
+""")
+
+
 def media_features_q(spark, sf):
     from batukh_spark.operators.multimodal import (extract_features,
                                                    synthesize_media)
@@ -1690,6 +1739,78 @@ from documents d left join hits h using (doc_id)
 
 
 DECONTAMINATE_SQL = _decontam_sql()
+
+
+def split_leakage_q(spark, sf):
+    """Cross-split leakage audit with PLANTED overlap: documents get a
+    doc_id-keyed train/val/test assignment (same weights/salt as
+    train_val_split), docs with doc_id % 7 = 3 get the first 13
+    tokens of doc 0 appended, and split_leakage must flag exactly the
+    non-train docs sharing a 13-gram with the train side — the
+    planted docs (and doc 0 itself, if the hash put it outside
+    train), while clean val/test docs stay n_hits = 0."""
+    from batukh_spark.operators import decontam
+    from batukh_spark.operators.sampling import split_assign
+    from batukh_spark.operators.text import tokens_col
+
+    docs = t_spread(spark, sf, "documents")
+    plant = docs.filter("doc_id = 0").select(
+        F.concat_ws(" ", F.slice(tokens_col("text"), 1, 13))
+        .alias("__plant"))
+    aug = (docs.crossJoin(F.broadcast(plant))
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 7 == 3,
+                          F.concat(F.col("text"), F.lit(" "),
+                                   F.col("__plant")))
+                   .otherwise(F.col("text")).alias("text")))
+    rows = split_assign(aug, _SPLIT_WEIGHTS, key_col="doc_id",
+                        salt="split1")
+    return decontam.split_leakage(rows)
+
+
+def _split_leakage_sql() -> str:
+    grams = _grams13_sql()
+    return rf"""
+with plant as (
+  select array_to_string(
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')[1:13], ' ') as p
+  from documents where doc_id = 0
+), aug as (
+  select doc_id,
+         case when doc_id % 7 = 3
+              then text || ' ' || (select p from plant)
+              else text end as text
+  from documents
+), sp as (
+  select doc_id, text,
+         {_split_case_sql("doc_id", _SPLIT_WEIGHTS, "split1")} as split
+  from aug
+), toks as (
+  select doc_id, split,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from sp
+), gr as (
+  select doc_id, split, {grams} as grams from toks
+), tg as (
+  select distinct g
+  from (select unnest(grams) as g from gr where split = 'train')
+), eg as (
+  select doc_id, split, unnest(grams) as g
+  from gr where split <> 'train'
+), hits as (
+  select doc_id, split, count(*) as n_hits
+  from eg join tg using (g) group by doc_id, split
+)
+select s.doc_id, s.split,
+       coalesce(h.n_hits, 0) > 0 as leaked,
+       coalesce(h.n_hits, 0)::bigint as n_hits
+from sp s left join hits h using (doc_id, split)
+where s.split <> 'train'
+"""
+# NOTE: SPLIT_LEAKAGE_SQL is materialized after _split_case_sql /
+# _SPLIT_WEIGHTS are defined (they live beside train_val_split below).
 
 
 def duplicated_passages_q(spark, sf):
@@ -2515,6 +2636,8 @@ select conv_id, turn_idx, """
     + _split_case_sql("conv_id", _SPLIT_WEIGHTS, "split1")
     + " as split from base")
 
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
 
 def conversation_keep_set_q(spark, sf):
     """Conversation-granularity dedup: the assembled conversation
@@ -2733,6 +2856,16 @@ def best_of_n_q(spark, sf):
     them through the shared quality CTE generator, and picks the same
     (quality desc, cand_id desc) winner."""
     from batukh_spark.operators.sampling import best_of_n
+    full = _response_cands(spark, sf)
+    return best_of_n(full, group_col="conv_id", score_col="quality",
+                     id_col="cand_id")
+
+
+def _response_cands(spark, sf):
+    """Shared candidate synthesis for the RLHF-selection queries
+    (best_of_n, preference_pairs): each conversation's assistant turn
+    spawns three scored candidates — original, half-truncation,
+    self-repetition — ranked by quality_score."""
     ext = (extract_transcripts(spark, sf)
            .filter(F.col("turn_idx") == 1)
            .select("conv_id", "extracted_text"))
@@ -2754,12 +2887,10 @@ def best_of_n_q(spark, sf):
     cands = c0.unionByName(c1).unionByName(c2).localCheckpoint()
     scored = textstats.quality_score(cands, "cand_id", "text") \
         .select("cand_id", "quality")
-    full = cands.select("conv_id", "cand_id").join(scored, "cand_id")
-    return best_of_n(full, group_col="conv_id", score_col="quality",
-                     id_col="cand_id")
+    return cands.select("conv_id", "cand_id").join(scored, "cand_id")
 
 
-BEST_OF_N_SQL = (
+_RESP_SCORED_SQL = (
     "with base as (" + EXTRACT_TRANSCRIPTS_SQL + r""")
 , src as (
   select conv_id, conv_id || '#0' as doc_id, extracted_text as text
@@ -2782,13 +2913,47 @@ BEST_OF_N_SQL = (
 , scored as (
   select s.conv_id, q.doc_id as cand_id, q.quality
   from qual q join src s on s.doc_id = q.doc_id
-), rk as (
+)""")
+
+
+BEST_OF_N_SQL = _RESP_SCORED_SQL + """
+, rk as (
   select *, row_number() over (partition by conv_id
                                order by quality desc, cand_id desc) as rn
   from scored
 )
 select conv_id, cand_id, quality from rk where rn = 1
-""")
+"""
+
+
+def preference_pairs_q(spark, sf):
+    """DPO preference pairs over the same response-candidate groups as
+    best_of_n: chosen = max by (quality, cand_id), rejected = min by
+    (quality, cand_id), tied groups dropped.  The oracle double-ranks
+    the shared scored CTE (desc and asc) and joins the two rank-1
+    rows per conversation."""
+    from batukh_spark.operators.sampling import preference_pairs
+    full = _response_cands(spark, sf)
+    return preference_pairs(full, group_col="conv_id",
+                            score_col="quality", id_col="cand_id")
+
+
+PREFERENCE_PAIRS_SQL = _RESP_SCORED_SQL + """
+, rk as (
+  select conv_id, cand_id, quality,
+         row_number() over (partition by conv_id
+                            order by quality desc, cand_id desc) as hi,
+         row_number() over (partition by conv_id
+                            order by quality asc, cand_id asc) as lo
+  from scored
+)
+select h.conv_id, h.cand_id as chosen_id, l.cand_id as rejected_id,
+       h.quality as chosen_score, l.quality as rejected_score,
+       h.quality - l.quality as margin
+from (select * from rk where hi = 1) h
+join (select * from rk where lo = 1) l using (conv_id)
+where h.quality - l.quality > 0
+"""
 
 
 def packed_loss_masks_q(spark, sf):
@@ -3089,6 +3254,8 @@ QUERIES = {
     "lang_id": (lang_id_q, LANG_ID_SQL),
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
     "corpus_sample": (corpus_sample, CORPUS_SAMPLE_SQL),
+    "temperature_rates": (temperature_rates_q, TEMPERATURE_RATES_SQL),
+    "temperature_sample": (temperature_sample_q, TEMPERATURE_SAMPLE_SQL),
     "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),
     "packed_sequences": (packed_sequences_q, PACKED_SEQUENCES_SQL),
     "fingerprint_candidates": (fingerprint_candidates_q,
@@ -3099,6 +3266,7 @@ QUERIES = {
     "training_batches": (training_batches_q, TRAINING_BATCHES_SQL),
     "pii_redact": (pii_redact_q, PII_REDACT_SQL),
     "decontaminate": (decontaminate_q, DECONTAMINATE_SQL),
+    "split_leakage": (split_leakage_q, SPLIT_LEAKAGE_SQL),
     "duplicated_passages": (duplicated_passages_q, DUPLICATED_PASSAGES_SQL),
     "passage_excision": (passage_excision_q, PASSAGE_EXCISION_SQL),
     "media_features": (media_features_q, MEDIA_SQL),
@@ -3117,6 +3285,7 @@ QUERIES = {
     "sft_mix": (sft_mix_q, _sft_mix_sql()),
     "packed_loss_masks": (packed_loss_masks_q, PACKED_LOSS_MASKS_SQL),
     "best_of_n": (best_of_n_q, BEST_OF_N_SQL),
+    "preference_pairs": (preference_pairs_q, PREFERENCE_PAIRS_SQL),
     "trace_stats": (trace_stats_q, TRACE_STATS_SQL),
     "role_transitions": (role_transitions_q, ROLE_TRANSITIONS_SQL),
     "sft_samples": (sft_samples_q, SFT_SAMPLES_SQL),

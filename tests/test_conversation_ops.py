@@ -579,3 +579,30 @@ def test_packed_loss_masks_mega_conversation(spark):
     for spans in by_seq.values():
         spans.sort()
         assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_preference_pairs_extremes_ties_and_plan(spark):
+    from batukh_spark.operators.sampling import best_of_n, preference_pairs
+    df = spark.createDataFrame(
+        [("g1", "a", 0.5), ("g1", "b", 0.9), ("g1", "c", 0.9),
+         ("g2", "x", 0.1),                       # singleton: margin 0
+         ("g3", "p", 0.3), ("g3", "q", 0.3)],    # all-tied: no signal
+        "group_id string, cand_id string, score double")
+    out = {r.group_id: r for r in preference_pairs(df).collect()}
+    # chosen mirrors best_of_n's tie-break; rejected is the (score, id) min
+    assert set(out) == {"g1"}
+    assert out["g1"].chosen_id == "c" and out["g1"].rejected_id == "a"
+    assert out["g1"].margin == 0.9 - 0.5
+    winners = {r.group_id: r.cand_id for r in best_of_n(df).collect()}
+    assert winners["g1"] == out["g1"].chosen_id
+    # min_margin prunes weak pairs
+    assert preference_pairs(df, min_margin=0.5).count() == 0
+    # invariant under partitioning
+    out2 = {(r.group_id, r.chosen_id, r.rejected_id)
+            for r in preference_pairs(df.repartition(7)).collect()}
+    assert out2 == {("g1", "c", "a")}
+    # scale: one shuffle total, partial aggregation before it
+    plan = (preference_pairs(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan and "partial_min" in plan

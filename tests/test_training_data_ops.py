@@ -577,3 +577,95 @@ def test_training_mix_forwards_bench_text_col(spark):
     kept_ids = {r.doc_id for r in out.select("doc_id").distinct().collect()}
     assert 3 not in kept_ids          # benchmark member decontaminated
     assert kept_ids                   # others survive
+
+
+def test_split_leakage_planted_cross_split(spark):
+    """A val doc sharing a 13-gram with a train doc is flagged with the
+    exact distinct-gram hit count; clean val docs and train docs
+    produce no output rows."""
+    from batukh_spark.operators.decontam import split_leakage
+    phrase = " ".join(f"w{i}" for i in range(13))
+    rows = spark.createDataFrame(
+        [("t1", f"alpha beta {phrase} gamma", "train"),
+         ("t2", "delta epsilon zeta " * 10, "train"),
+         ("v1", f"unrelated words here {phrase}", "val"),     # leaks: 1 gram
+         ("v2", "totally clean validation text " * 5, "val"),
+         ("s1", "delta epsilon zeta " * 10, "test")],         # verbatim twin
+        "doc_id string, text string, split string")
+    out = {r.doc_id: r for r in split_leakage(rows).collect()}
+    assert set(out) == {"v1", "v2", "s1"}  # train rows never emitted
+    assert out["v1"].leaked and out["v1"].n_hits == 1
+    assert not out["v2"].leaked and out["v2"].n_hits == 0
+    # the verbatim twin shares every one of its distinct 13-grams
+    assert out["s1"].leaked and out["s1"].n_hits > 1
+    # deterministic under partitioning
+    out2 = {(r.doc_id, r.leaked, r.n_hits)
+            for r in split_leakage(rows.repartition(5)).collect()}
+    assert out2 == {(d, r.leaked, r.n_hits) for d, r in out.items()}
+
+
+def test_split_leakage_plan_ships_hashes_not_text(spark):
+    """The gram join must be hash-only: no text column survives past
+    the gram projection on either join side, and the train side is
+    globally distinct before the join."""
+    from batukh_spark.operators.decontam import split_leakage
+    rows = spark.createDataFrame(
+        [("a", "x " * 20, "train"), ("b", "y " * 20, "val")],
+        "doc_id string, text string, split string")
+    plan = (split_leakage(rows)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # the join keys are gram hashes; the joined relations carry no text
+    assert "gram_hash" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_temperature_rates_upweight_small_domains(spark):
+    from batukh_spark.operators.sampling import temperature_rates
+    rows = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, lang string")
+    rates = {r.lang: r for r in
+             temperature_rates(rows, target=300, alpha=0.5).collect()}
+    # alpha=0.5: p_small/p_big = sqrt(100/900) = 1/3, so the small
+    # domain's PER-DOC rate is 3x the big domain's (900/100 / 3)
+    assert rates["small"].rate / rates["big"].rate == pytest.approx(3.0)
+    # expected kept total == target when nothing caps at 1.0
+    exp = sum(r.rate * r.n_docs for r in rates.values())
+    assert exp == pytest.approx(300, rel=1e-4)
+    # a target above the up-weighted small domain's size caps its rate
+    capped = {r.lang: r.rate for r in
+              temperature_rates(rows, target=500, alpha=0.5).collect()}
+    assert capped["small"] == 1.0
+    # alpha=0: equal p_d per domain -> tiny domain caps at rate 1.0
+    r0 = {r.lang: r.rate for r in
+          temperature_rates(rows, target=500, alpha=0.0).collect()}
+    assert r0["small"] == 1.0
+    # alpha=1: proportional sampling, uniform rate
+    r1 = {r.lang: r.rate for r in
+          temperature_rates(rows, target=500, alpha=1.0).collect()}
+    assert r1["small"] == pytest.approx(r1["big"])
+    with pytest.raises(ValueError):
+        temperature_rates(rows, target=500, alpha=1.5)
+    with pytest.raises(ValueError):
+        temperature_rates(rows, target=0)
+
+
+def test_temperature_sample_deterministic_and_scan_local(spark):
+    from batukh_spark.operators.sampling import temperature_sample
+    rows = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(600)],
+        "doc_id long, lang string")
+    kept = {r.doc_id for r in
+            temperature_sample(rows, target=300).collect()}
+    kept2 = {r.doc_id for r in
+             temperature_sample(rows.repartition(7), target=300).collect()}
+    assert kept == kept2 and 200 < len(kept) < 400
+    # independent draw under a different salt
+    kept3 = {r.doc_id for r in
+             temperature_sample(rows, target=300, salt="other").collect()}
+    assert kept3 != kept
+    # plan: rate table broadcasts; the corpus side never shuffles
+    plan = (temperature_sample(rows, target=300)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
