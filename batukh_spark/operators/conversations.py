@@ -415,3 +415,101 @@ def packed_loss_masks(turns: DataFrame, seq_len: int = 256,
                     .cast("long").alias("seq_start"),
                     (F.col("seq_pos") + hi - F.col("tok_begin"))
                     .cast("long").alias("seq_end")))
+
+
+def truncate_conversations(turns: DataFrame, max_tokens: int,
+                           id_col: str = "conv_id",
+                           order_col: str = "turn_idx",
+                           role_col: str = "role",
+                           text_col: str = "extracted_text") -> DataFrame:
+    """Fit each conversation into a context window: keep the OPENING
+    turn (system prompt / task statement — the one turn a truncated
+    chat cannot lose) plus the longest RECENT suffix whose combined
+    token count stays within `max_tokens` — the standard
+    keep-head-drop-middle chat truncation.
+
+    Returns every input turn as (id_col, order_col, role_col,
+    n_tokens, kept): callers filter kept for the training view and
+    keep the full frame for truncation-loss accounting.  The opening
+    turn is always kept, even when it alone exceeds the budget (a
+    conversation must contribute its instruction or nothing — callers
+    gate on n_tokens if they want a hard drop).  A turn is kept iff
+    opening_tokens + (tokens of it and every later non-opening turn)
+    <= max_tokens, so the kept set is by construction a suffix.
+
+    Scale: ONE shuffle on (id_col) shared by both windows (min +
+    reverse running sum); token counts are scan-local; per-row state
+    is three longs, text never re-ships after tokenization.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens!r}")
+    from batukh_spark.operators.text import tokens_col
+    base = turns.select(
+        F.col(id_col), F.col(order_col), F.col(role_col),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"))
+    w = Window.partitionBy(id_col)
+    first = F.min(F.col(order_col)).over(w)
+    is_first = F.col(order_col) == F.col("__first")
+    wdesc = (Window.partitionBy(id_col)
+             .orderBy(F.col(order_col).desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tail = F.sum(F.when(is_first, F.lit(0))
+                 .otherwise(F.col("n_tokens"))).over(wdesc)
+    first_tok = F.max(F.when(is_first, F.col("n_tokens"))
+                      .otherwise(F.lit(0))).over(w)
+    staged = (base.withColumn("__first", first)
+              .withColumn("__tail", tail)
+              .withColumn("__ftok", first_tok))
+    kept = F.when(is_first, F.lit(True)).otherwise(
+        (F.col("__tail") + F.col("__ftok")) <= max_tokens)
+    return staged.select(F.col(id_col), F.col(order_col),
+                         F.col(role_col), F.col("n_tokens"),
+                         kept.alias("kept"))
+
+
+def merge_consecutive_turns(turns: DataFrame,
+                            id_col: str = "conv_id",
+                            order_col: str = "turn_idx",
+                            role_col: str = "role",
+                            text_col: str = "extracted_text",
+                            sep: str = "\n") -> DataFrame:
+    """Collapse runs of consecutive same-role turns into one turn —
+    the conversation-granularity analogue of the reference's CTC
+    merge-repeated collapse of adjacent duplicate symbols
+    (/root/reference/batukh/tensorflow/model.py, ctc_decode): real
+    agent transcripts frequently split one logical message across
+    several same-role rows (streaming flushes, tool-call retries),
+    and role-alternation consumers (chat templates, packed loss
+    masks) require the merged form.
+
+    Returns one row per run: (id_col, turn_idx = the run's first
+    `order_col`, role_col, text = run texts joined by `sep` in turn
+    order, n_merged).  Run identity is the running count of role
+    CHANGES up to each turn, so runs are maximal and order-stable.
+
+    Scale: one shuffle on (id_col) for the lag/run-id window, then a
+    groupBy on (id_col, run) — same key prefix, so AQE/exchange reuse
+    keeps it one real repartitioning; per-group state is bounded by a
+    single run's text.
+    """
+    wseq = Window.partitionBy(id_col).orderBy(order_col)
+    changed = F.when(
+        F.lag(F.col(role_col)).over(wseq).isNull() |
+        (F.lag(F.col(role_col)).over(wseq) != F.col(role_col)),
+        1).otherwise(0)
+    runs = turns.select(
+        F.col(id_col), F.col(order_col), F.col(role_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+        F.sum(changed).over(wseq).alias("__run"))
+    agg = runs.groupBy(F.col(id_col), F.col("__run")).agg(
+        F.min(F.col(order_col)).alias("turn_idx"),
+        F.min_by(F.col(role_col), F.col(order_col)).alias(role_col),
+        F.array_sort(F.collect_list(
+            F.struct(F.col(order_col).alias("o"),
+                     F.col("__t").alias("t")))).alias("__ps"),
+        F.count(F.lit(1)).alias("n_merged"))
+    return agg.select(
+        F.col(id_col), F.col("turn_idx"), F.col(role_col),
+        F.array_join(F.transform("__ps", lambda s: s["t"]), sep)
+        .alias("text"),
+        F.col("n_merged").cast("long").alias("n_merged"))

@@ -2597,6 +2597,107 @@ from lagged where psh is not null
 """)
 
 
+def truncate_conversations_q(spark, sf):
+    """Context-window fitting over the flagship turns: keep each
+    conversation's opening turn plus the longest recent suffix within
+    a 100-token budget (operators/conversations.truncate_conversations
+    — one conv-keyed shuffle shared by the min and reverse-running-sum
+    windows).  The mixed html/pdf/plain turn lengths make the budget
+    bite differently per conversation, so the output carries both kept
+    and dropped turns."""
+    from batukh_spark.operators.conversations import truncate_conversations
+    ext = extract_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "role", "extracted_text")
+    return truncate_conversations(ext, max_tokens=100)
+
+
+TRUNCATE_CONVERSATIONS_SQL = (
+    "with base as (" + EXTRACT_TRANSCRIPTS_SQL + r""")
+, tk as (
+  select conv_id, turn_idx, role,
+         len(list_filter(regexp_split_to_array(lower(extracted_text),
+                                               '\s+'),
+                         x -> x <> ''))::bigint as n_tokens
+  from base
+), st1 as (
+  select *, min(turn_idx) over (partition by conv_id) as first_idx
+  from tk
+), st2 as (
+  select *,
+         sum(case when turn_idx = first_idx then 0 else n_tokens end)
+           over (partition by conv_id order by turn_idx desc
+                 rows between unbounded preceding and current row) as tail,
+         max(case when turn_idx = first_idx then n_tokens else 0 end)
+           over (partition by conv_id) as ftok
+  from st1
+)
+select conv_id, turn_idx, role, n_tokens,
+       case when turn_idx = first_idx then true
+            else (tail + ftok) <= 100 end as kept
+from st2
+""")
+
+
+def merge_turns_q(spark, sf):
+    """Consecutive same-role run collapse with PLANTED runs: the base
+    3-turn conversations alternate roles (every run is a singleton),
+    conv_id%13==0 conversations gain tool turns 3+4 (a run of three
+    with turn 2), conv_id%17==0 gain tool turn 5 — so the oracle must
+    produce the same maximal runs, first-turn indices, newline-joined
+    texts, and merge counts."""
+    from batukh_spark.operators.conversations import merge_consecutive_turns
+    ext = extract_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "role", "extracted_text")
+    num = F.substring("conv_id", 2, 100).cast("long")
+    t1 = ext.filter(F.col("turn_idx") == 1)
+    p3 = t1.filter(num % 13 == 0).select(
+        "conv_id", F.lit(3).alias("turn_idx"),
+        F.lit("tool").alias("role"), "extracted_text")
+    p4 = t1.filter(num % 13 == 0).select(
+        "conv_id", F.lit(4).alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit("retry output chunk").alias("extracted_text"))
+    p5 = t1.filter(num % 17 == 0).select(
+        "conv_id", F.lit(5).alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit("second flush of the same result").alias("extracted_text"))
+    allt = (ext.unionByName(p3).unionByName(p4).unionByName(p5)
+            .localCheckpoint())
+    return merge_consecutive_turns(allt)
+
+
+MERGE_TURNS_SQL = (
+    "with base as (" + EXTRACT_TRANSCRIPTS_SQL + r""")
+, aug as (
+  select conv_id, turn_idx, role, extracted_text from base
+  union all
+  select conv_id, 3, 'tool', extracted_text from base
+  where turn_idx = 1 and substring(conv_id, 2)::bigint % 13 = 0
+  union all
+  select conv_id, 4, 'tool', 'retry output chunk' from base
+  where turn_idx = 1 and substring(conv_id, 2)::bigint % 13 = 0
+  union all
+  select conv_id, 5, 'tool', 'second flush of the same result' from base
+  where turn_idx = 1 and substring(conv_id, 2)::bigint % 17 = 0
+), lg as (
+  select conv_id, turn_idx, role,
+         coalesce(extracted_text, '') as t,
+         case when lag(role) over w is null
+                or lag(role) over w <> role
+              then 1 else 0 end as ch
+  from aug window w as (partition by conv_id order by turn_idx)
+), rn as (
+  select *, sum(ch) over (partition by conv_id order by turn_idx
+                          rows unbounded preceding) as run
+  from lg
+)
+select conv_id, min(turn_idx) as turn_idx, min(role) as role,
+       string_agg(t, chr(10) order by turn_idx) as text,
+       count(*)::bigint as n_merged
+from rn group by conv_id, run
+""")
+
+
 def _split_case_sql(key_expr: str, weights: dict[str, float],
                     salt: str) -> str:
     """DuckDB mirror of operators/sampling.split_assign — generated
@@ -3277,6 +3378,9 @@ QUERIES = {
                               CONVERSATION_KEEP_SET_SQL),
     "train_val_split": (train_val_split_q, TRAIN_VAL_SPLIT_SQL),
     "repetition_loops": (repetition_loops_q, REPETITION_LOOPS_SQL),
+    "truncate_conversations": (truncate_conversations_q,
+                               TRUNCATE_CONVERSATIONS_SQL),
+    "merge_turns": (merge_turns_q, MERGE_TURNS_SQL),
     "token_budget_sample": (token_budget_sample_q, TOKEN_BUDGET_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),

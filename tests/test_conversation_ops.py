@@ -606,3 +606,86 @@ def test_preference_pairs_extremes_ties_and_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_max" in plan and "partial_min" in plan
+
+
+def test_truncate_keeps_opening_plus_suffix(spark):
+    from batukh_spark.operators.conversations import truncate_conversations
+    # opening turn = 2 tokens; later turns 3,4,5 tokens; budget 8
+    # suffix sums (from the end): t3=5, t3+t2=9 -> only t3 fits with
+    # the opening (2+5=7 <= 8); t2 would make 2+9=11 > 8.
+    df = _turns(spark, [
+        ("c1", 0, "user", "a b"),
+        ("c1", 1, "assistant", "c d e"),
+        ("c1", 2, "user", "f g h i"),
+        ("c1", 3, "assistant", "j k l m n"),
+    ])
+    out = {r.turn_idx: r.kept
+           for r in truncate_conversations(df, max_tokens=8).collect()}
+    assert out == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_truncate_opening_always_kept_and_suffix_property(spark):
+    from batukh_spark.operators.conversations import truncate_conversations
+    # opening alone blows the budget: still kept, everything else drops
+    df = _turns(spark, [
+        ("c1", 0, "user", "w " * 50),
+        ("c1", 1, "assistant", "x"),
+    ])
+    out = {r.turn_idx: r.kept
+           for r in truncate_conversations(df, max_tokens=10).collect()}
+    assert out[0] is True and out[1] is False
+    # kept set is a suffix (plus the opening) for a longer conv
+    df2 = _turns(spark, [("c2", i, "user", "t " * (i + 1))
+                         for i in range(8)])
+    rows = sorted(truncate_conversations(df2, max_tokens=20).collect(),
+                  key=lambda r: r.turn_idx)
+    kept_tail = [r.kept for r in rows[1:]]
+    # once kept, every later turn is kept too
+    first_kept = kept_tail.index(True) if True in kept_tail else len(kept_tail)
+    assert all(kept_tail[first_kept:])
+    assert not any(kept_tail[:first_kept])
+    with pytest.raises(ValueError):
+        truncate_conversations(df2, max_tokens=0)
+
+
+def test_truncate_single_shuffle_plan(spark):
+    from batukh_spark.operators.conversations import truncate_conversations
+    df = _turns(spark, [("c1", 0, "user", "a b c")])
+    plan = (truncate_conversations(df, max_tokens=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    # both windows share one conv-keyed exchange; nothing single-partition
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_merge_consecutive_runs_and_counts(spark):
+    from batukh_spark.operators.conversations import merge_consecutive_turns
+    df = _turns(spark, [
+        ("c1", 0, "user", "q"),
+        ("c1", 1, "tool", "part one"),
+        ("c1", 2, "tool", "part two"),
+        ("c1", 3, "tool", None),         # null joins as empty string
+        ("c1", 4, "assistant", "done"),
+        ("c1", 5, "user", "q2"),
+        ("c1", 6, "user", "q2 again"),
+    ])
+    out = {r.turn_idx: r for r in merge_consecutive_turns(df).collect()}
+    assert sorted(out) == [0, 1, 4, 5]
+    assert out[1].role == "tool"
+    assert out[1].text == "part one\npart two\n"
+    assert out[1].n_merged == 3
+    assert out[5].text == "q2\nq2 again" and out[5].n_merged == 2
+    # runs never merge across conversations
+    df2 = _turns(spark, [("a", 0, "tool", "x"), ("b", 0, "tool", "y")])
+    assert merge_consecutive_turns(df2).count() == 2
+
+
+def test_merge_consecutive_partitioning_invariant(spark):
+    from batukh_spark.operators.conversations import merge_consecutive_turns
+    rows = [(f"c{i % 5}", j, ["user", "tool", "tool", "assistant"][j % 4],
+             f"t{i}-{j}") for i in range(10) for j in range(8)]
+    df = _turns(spark, rows)
+    a = sorted(map(tuple, merge_consecutive_turns(df).collect()))
+    b = sorted(map(tuple,
+                   merge_consecutive_turns(df.repartition(13)).collect()))
+    assert a == b
