@@ -78,6 +78,114 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     .cast("long").alias("n_hits")))
 
 
+def decontaminate_spans(docs: DataFrame, benchmark: DataFrame,
+                        n: int = N_DECONTAM, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        bench_text_col: str = "text") -> DataFrame:
+    """Passage-level decontamination: WHERE the benchmark overlap
+    lives.  `decontaminate` gives a doc verdict; dropping whole
+    documents over one quoted eval question is wasteful at corpus
+    scale, so this maps every shared n-token gram back to its token
+    positions and merges overlapping hits into maximal spans —
+    the decontamination analogue of `duplicated_passage_spans`
+    (reference span analogue: derive+rank over per-page predictions,
+    /root/reference/batukh/torch/segmenter.py:541-554).
+
+    Returns (id_col, tok_start, tok_end, n_hits): 1-based token-space
+    spans [tok_start, tok_end) over the doc's whitespace tokens, with
+    n_hits = the number of matching grams merged into the span.
+    Adjacent-or-overlapping gram hits (each covering tokens
+    [p, p+n)) merge into one span, so a contiguous quoted passage is
+    ONE row.  Docs with no overlap emit no rows.
+
+    Scale: benchmark grams broadcast (tiny); the corpus side is a
+    scan-local gram fan-out whose non-matching rows die inside the
+    broadcast join — only HIT positions (rare) reach the per-doc
+    merge window, so the only corpus-keyed shuffle carries (id, int)
+    hit rows.  The gram array is staged as a column before the
+    position explode (interpreted-HOF tax: an inlined tokens tree
+    would re-tokenize per element)."""
+    if not (isinstance(n, int) and n >= 2):
+        raise ValueError(f"n must be an int >= 2, got {n!r}")
+    from pyspark.sql import Window
+    bgrams = benchmark_ngrams(benchmark, n, bench_text_col)
+    staged = (docs
+              .select(F.col(id_col), tokens_col(text_col).alias("__tk"))
+              .select(F.col(id_col),
+                      word_shingles(F.col("__tk"), n).alias("__gs")))
+    hits = (staged
+            .select(F.col(id_col),
+                    F.posexplode(F.col("__gs")).alias("__p", "__g"))
+            .select(F.col(id_col), (F.col("__p") + 1).alias("pos"),
+                    F.md5("__g").alias("gram_hash"))
+            .join(F.broadcast(bgrams), "gram_hash")
+            .select(F.col(id_col), "pos"))
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    newg = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1) \
+        .otherwise(0)
+    grp = (hits.withColumn("__new", newg)
+           .withColumn("__grp", F.sum("__new").over(
+               w_doc.rowsBetween(Window.unboundedPreceding, 0))))
+    return (grp.groupBy(F.col(id_col), F.col("__grp"))
+            .agg(F.min("pos").cast("long").alias("tok_start"),
+                 (F.max("pos") + n).cast("long").alias("tok_end"),
+                 F.count(F.lit(1)).alias("n_hits"))
+            .drop("__grp"))
+
+
+def cut_contaminated(docs: DataFrame, benchmark: DataFrame,
+                     n: int = N_DECONTAM, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     bench_text_col: str = "text") -> DataFrame:
+    """Excise benchmark-overlapping passages instead of dropping the
+    document: remove every `decontaminate_spans` token span, keep the
+    rest.  Returns (id_col, clean_text, n_cut_tokens).
+
+    Clean documents pass through with their ORIGINAL text unchanged.
+    Contaminated documents are spliced in TOKEN space — the kept
+    tokens (original case) re-join with single spaces, so excision
+    normalizes the contaminated docs' whitespace; matching stays
+    case-insensitive because gram hashes come from the lowered twin
+    of the same split (position-aligned by construction).
+
+    Scale: spans are rare (benchmark-gated), so the span join back to
+    the text is a key join whose build side is the hit docs only; the
+    splice folds over the doc's few span structs, never per token."""
+    spans = decontaminate_spans(docs, benchmark, n, id_col,
+                                text_col, bench_text_col)
+    sp = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("tok_start"), F.col("tok_end")))).alias("__sp"))
+    raw = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    joined = (docs.select(F.col(id_col), F.col(text_col),
+                          raw.alias("__rw"))
+              .join(sp, id_col, "left"))
+    tk = F.col("__rw")
+    folded = F.aggregate(
+        F.col("__sp"),
+        F.struct(F.lit(1).cast("long").alias("p"),
+                 F.array().cast("array<string>").alias("t")),
+        lambda acc, s: F.struct(
+            s["tok_end"].alias("p"),
+            F.concat(acc["t"],
+                     F.slice(tk, acc["p"].cast("int"),
+                             (s["tok_start"] - acc["p"]).cast("int")))
+            .alias("t")),
+        lambda acc: F.concat(
+            acc["t"],
+            F.slice(tk, acc["p"].cast("int"),
+                    F.greatest(F.size(tk) - acc["p"] + 1, F.lit(0))
+                    .cast("int"))))
+    clean = F.when(F.col("__sp").isNull(), F.col(text_col)) \
+        .otherwise(F.array_join(folded, " "))
+    cut = F.when(F.col("__sp").isNull(), F.lit(0)).otherwise(
+        F.size(tk) - F.size(folded))
+    return joined.select(F.col(id_col), clean.alias("clean_text"),
+                         cut.cast("long").alias("n_cut_tokens"))
+
+
 def split_leakage(rows: DataFrame, n: int = N_DECONTAM,
                   id_col: str = "doc_id", text_col: str = "text",
                   split_col: str = "split",

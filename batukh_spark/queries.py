@@ -1741,6 +1741,145 @@ from documents d left join hits h using (doc_id)
 DECONTAMINATE_SQL = _decontam_sql()
 
 
+def _decontam_aug_bench(spark, sf):
+    """The shared planted-contamination fixture of the decontam query
+    family: (augmented docs, benchmark) — benchmark = doc_id % 37 = 0
+    verbatim, docs with doc_id % 11 = 5 get the first 13 tokens of
+    doc 0 (a benchmark member) appended."""
+    from batukh_spark.operators.text import tokens_col
+    docs = t_spread(spark, sf, "documents")
+    plant = docs.filter("doc_id = 0").select(
+        F.concat_ws(" ", F.slice(tokens_col("text"), 1, 13))
+        .alias("__plant"))
+    aug = (docs.crossJoin(F.broadcast(plant))
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 11 == 5,
+                          F.concat(F.col("text"), F.lit(" "),
+                                   F.col("__plant")))
+                   .otherwise(F.col("text")).alias("text")))
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    return aug, bench
+
+
+def decontaminate_spans_q(spark, sf):
+    """Passage-level decontamination over the same planted fixture as
+    `decontaminate`: the oracle must reproduce the exact merged
+    token-space spans — benchmark members collapse to one full-doc
+    span (every gram hits), planted docs get exactly the appended
+    slice's span (merged across the straddle when the doc is also a
+    benchmark member), clean docs emit nothing."""
+    from batukh_spark.operators import decontam
+    aug, bench = _decontam_aug_bench(spark, sf)
+    return decontam.decontaminate_spans(aug, bench)
+
+
+def cut_contaminated_q(spark, sf):
+    """Span excision instead of doc drop: contaminated token spans are
+    cut and the kept tokens re-join; clean docs pass through with
+    their original text byte-identical."""
+    from batukh_spark.operators import decontam
+    aug, bench = _decontam_aug_bench(spark, sf)
+    return decontam.cut_contaminated(aug, bench)
+
+
+def _grams13_pos_sql() -> str:
+    """Positioned (non-distinct) 13-token grams of a `tokens` list
+    column: list of {p: 1-based token position, g: gram string}."""
+    g13 = " || ' ' || ".join(
+        ["tokens[i]"] + [f"tokens[i+{j}]" for j in range(1, 13)])
+    return (f"case when len(tokens) >= 13 then "
+            f"list_transform(generate_series(1, len(tokens) - 12), "
+            f"i -> struct_pack(p := i, g := {g13})) "
+            f"else [] end")
+
+
+_DECONTAM_SPANS_CTE = rf"""
+with plant as (
+  select array_to_string(
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')[1:13], ' ') as p
+  from documents where doc_id = 0
+), aug as (
+  select doc_id,
+         case when doc_id % 11 = 5
+              then text || ' ' || (select p from plant)
+              else text end as text
+  from documents
+), toks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from aug
+), btoks as (
+  select list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from documents where doc_id % 37 = 0
+), bgr as (
+  select distinct g
+  from (select unnest({_grams13_sql()}) as g from btoks)
+), pg as (
+  select doc_id, unnest({_grams13_pos_sql()}) as u from toks
+), hp as (
+  select p.doc_id, p.u.p as pos
+  from pg p join bgr b on p.u.g = b.g
+), st as (
+  select doc_id, pos,
+         max(pos + 13) over (partition by doc_id order by pos
+                             rows between unbounded preceding
+                             and 1 preceding) as prev_end
+  from hp
+), grps as (
+  select doc_id, pos,
+         sum(case when prev_end is null or pos > prev_end
+                  then 1 else 0 end)
+           over (partition by doc_id order by pos
+                 rows unbounded preceding) as grp
+  from st
+), spans as (
+  select doc_id, min(pos)::bigint as tok_start,
+         (max(pos) + 13)::bigint as tok_end,
+         count(*)::bigint as n_hits
+  from grps group by doc_id, grp
+)"""
+
+DECONTAMINATE_SPANS_SQL = _DECONTAM_SPANS_CTE + """
+select doc_id, tok_start, tok_end, n_hits from spans
+"""
+
+CUT_CONTAMINATED_SQL = _DECONTAM_SPANS_CTE + r"""
+, tkr as (
+  select doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') as rw
+  from aug
+), wsp as (
+  select doc_id, tok_start, tok_end,
+         lag(tok_end, 1, 1) over (partition by doc_id
+                                  order by tok_start) as prev_end
+  from spans
+), agg as (
+  select w.doc_id,
+         flatten(list(t.rw[w.prev_end::int : (w.tok_start - 1)::int]
+                      order by w.tok_start)) as midtk,
+         max(w.tok_end) as last_end
+  from wsp w join tkr t using (doc_id) group by w.doc_id
+), res as (
+  select t.doc_id,
+         case when a.doc_id is null then t.text
+              else coalesce(array_to_string(
+                     a.midtk || t.rw[a.last_end::int : len(t.rw)], ' '),
+                     '')
+         end as clean_text,
+         case when a.doc_id is null then 0
+              else len(t.rw) - len(a.midtk)
+                   - len(t.rw[a.last_end::int : len(t.rw)])
+         end as ncut
+  from tkr t left join agg a using (doc_id)
+)
+select doc_id, clean_text, ncut::bigint as n_cut_tokens from res
+"""
+
+
 def split_leakage_q(spark, sf):
     """Cross-split leakage audit with PLANTED overlap: documents get a
     doc_id-keyed train/val/test assignment (same weights/salt as
@@ -3368,6 +3507,9 @@ QUERIES = {
     "pii_redact": (pii_redact_q, PII_REDACT_SQL),
     "decontaminate": (decontaminate_q, DECONTAMINATE_SQL),
     "split_leakage": (split_leakage_q, SPLIT_LEAKAGE_SQL),
+    "decontaminate_spans": (decontaminate_spans_q,
+                            DECONTAMINATE_SPANS_SQL),
+    "cut_contaminated": (cut_contaminated_q, CUT_CONTAMINATED_SQL),
     "duplicated_passages": (duplicated_passages_q, DUPLICATED_PASSAGES_SQL),
     "passage_excision": (passage_excision_q, PASSAGE_EXCISION_SQL),
     "media_features": (media_features_q, MEDIA_SQL),

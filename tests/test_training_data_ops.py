@@ -669,3 +669,78 @@ def test_temperature_sample_deterministic_and_scan_local(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_spans_merge_and_positions(spark):
+    """Contiguous overlap merges into ONE token span at the exact
+    1-based [tok_start, tok_end); split overlaps stay separate."""
+    from batukh_spark.operators.decontam import decontaminate_spans
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    plant = " ".join(f"b{i}" for i in range(13))
+    mid = " ".join(f"m{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, bench_text),                         # full-doc span
+         (2, "x y z " + plant),                   # one span at 4..17
+         (3, plant + " " + mid + " " + plant),    # two separate spans
+         (4, "clean " + " ".join(f"c{i}" for i in range(30)))],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    rows = decontaminate_spans(docs, bench).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.tok_start, r.tok_end, r.n_hits))
+    for v in got.values():
+        v.sort()
+    # doc 1: 20 tokens, grams at 1..8 all hit -> one span [1, 21)
+    assert got[1] == [(1, 21, 8)]
+    # doc 2: 3 prefix tokens + 13 planted -> one gram at pos 4
+    assert got[2] == [(4, 17, 1)]
+    # doc 3: plant(13) + mid(15) + plant(13): grams at 1 and 29
+    assert got[3] == [(1, 14, 1), (29, 42, 1)]
+    assert 4 not in got
+
+
+def test_decontaminate_spans_case_insensitive(spark):
+    """Matching is on the lowered text (tokens_col semantics)."""
+    from batukh_spark.operators.decontam import decontaminate_spans
+    bench_text = " ".join(f"b{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(1, bench_text.upper())], "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    rows = decontaminate_spans(docs, bench).collect()
+    assert [(r.tok_start, r.tok_end) for r in rows] == [(1, 14)]
+
+
+def test_cut_contaminated_splices_and_passthrough(spark):
+    """Contaminated spans are cut in token space (original case kept);
+    clean docs pass through byte-identical; fully-contaminated docs
+    collapse to empty."""
+    from batukh_spark.operators.decontam import cut_contaminated
+    bench_text = " ".join(f"b{i}" for i in range(13))
+    clean_text = "Mixed Case   odd\twhitespace kept AS-IS"
+    docs = spark.createDataFrame(
+        [(1, "Head TOKENS " + bench_text + " tail end"),
+         (2, clean_text),
+         (3, bench_text)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    got = {r.doc_id: (r.clean_text, r.n_cut_tokens)
+           for r in cut_contaminated(docs, bench).collect()}
+    assert got[1] == ("Head TOKENS tail end", 13)
+    assert got[2] == (clean_text, 0)       # original bytes untouched
+    assert got[3] == ("", 13)
+
+
+def test_decontaminate_spans_plan_broadcasts_benchmark(spark):
+    """The benchmark gram side must broadcast; the corpus side must
+    not shuffle before the join."""
+    from batukh_spark.operators.decontam import decontaminate_spans
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20)))
+         for i in range(50)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(" ".join(f"w1_{j}" for j in range(20)),)], "text string")
+    plan = (decontaminate_spans(docs, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
