@@ -269,6 +269,89 @@ def assemble_sequences(chunks, seq_len: int = 256,
                  .alias("seq_text")))
 
 
+def length_bucketed_batches(rows, batch_max_tokens: int,
+                            id_col: str = "doc_id",
+                            ntok_col: str = "n_tokens",
+                            salt: str = "bucket"):
+    """Length-bucketed fixed-shape batching — the padding-efficiency
+    twin of `pack_sequences` for models that CANNOT pack (encoder
+    batches, reward scoring, static-shape compilers): rows are
+    grouped by ceil-power-of-two token length and batched within
+    their bucket, so every batch pads to one static shape and the
+    waste is bounded by <2x instead of max_len/mean_len.
+
+    bucket_len   = smallest power of two >= n_tokens,
+    batch_rows   = max(1, batch_max_tokens div bucket_len)
+                   (rows per batch; a row longer than the budget
+                   still forms singleton batches),
+    batch_idx    = per-bucket dense batch number in deterministic
+                   md5(salt || ':' || id) order — same assignment on
+                   any cluster, partitioning, or retry.
+
+    Returns (id_col, n_tokens, bucket_len, batch_idx, pad_tokens)
+    with pad_tokens = bucket_len - n_tokens (the per-row padding the
+    static shape costs).  Rows with n_tokens <= 0 are dropped (empty
+    rows batch nothing).
+
+    Scale: the rank math is the pack_sequences distributed prefix
+    shape — only (id, n_tokens, bucket, hash) tuples flow through it;
+    per-(partition, bucket) counts (<= partitions x ~20 bucket rows)
+    collect to the driver and come back as a broadcast offsets join.
+    The per-bucket window keys on (physical partition, bucket), so no
+    bucket ever becomes a SinglePartition window."""
+    from pyspark.sql import Window
+    if not (isinstance(batch_max_tokens, int) and batch_max_tokens >= 1):
+        raise ValueError(
+            f"batch_max_tokens must be an int >= 1, got {batch_max_tokens!r}")
+    spark = rows.sparkSession
+    n = F.col(ntok_col).cast("long")
+    # ceil power of two via bit length: 2^len(bin(n-1)) for n >= 2
+    # (SQL expr: shiftleft's PySpark wrapper only takes literal shifts)
+    bucket = F.expr("case when __n <= 1 then cast(1 as bigint) "
+                    "else cast(shiftleft(cast(1 as bigint), "
+                    "length(bin(__n - 1))) as bigint) end")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    slim = (rows.select(F.col(id_col), n.alias("__n"))
+            .filter(F.col("__n") > 0)
+            .select(F.col(id_col), F.col("__n"),
+                    bucket.alias("__b"), h.alias("__h")))
+    n_parts = spark.sparkContext.defaultParallelism
+    ordered = (slim.repartitionByRange(n_parts, "__b", "__h", id_col)
+               .sortWithinPartitions("__b", "__h", id_col)
+               .withColumn("__part", F.spark_partition_id())
+               .localCheckpoint())
+    w = Window.partitionBy("__part", "__b").orderBy("__h", id_col)
+    local = ordered.withColumn("__local",
+                               F.row_number().over(w) - F.lit(1))
+    totals = sorted(
+        ordered.groupBy("__part", "__b").count().collect(),
+        key=lambda r: (r["__b"], r["__part"]))
+    offsets, off, cur_b = [], 0, None
+    for r in totals:
+        if r["__b"] != cur_b:
+            cur_b, off = r["__b"], 0
+        offsets.append((r["__part"], r["__b"], off))
+        off += r["count"]
+    odf = spark.createDataFrame(offsets or [(0, 0, 0)],
+                                "__opart int, __ob long, __off long")
+    joined = local.join(
+        F.broadcast(odf),
+        (local["__part"] == odf["__opart"]) & (local["__b"] == odf["__ob"]))
+    rank = F.col("__off") + F.col("__local")
+    batch_rows = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"{int(batch_max_tokens)} div __b"))
+    return joined.select(
+        F.col(id_col), F.col("__n").alias(ntok_col),
+        F.col("__b").alias("bucket_len"),
+        rank.cast("long").alias("__rk"),
+        (F.col("__b") - F.col("__n")).cast("long").alias("pad_tokens"),
+        batch_rows.alias("__br")) \
+        .select(F.col(id_col), F.col(ntok_col), F.col("bucket_len"),
+                F.expr("__rk div __br").cast("long").alias("batch_idx"),
+                F.col("pad_tokens"))
+
+
 def char_grams_md5(text: Column | str, k: int = 8) -> Column:
     """md5 of every k-char gram of the raw text (rolling-hash analogue)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -2837,6 +2837,48 @@ from rn group by conv_id, run
 """)
 
 
+def length_bucketed_batches_q(spark, sf):
+    """Length-bucketed fixed-shape batching over the documents table:
+    per-doc whitespace token counts -> ceil-power-of-two buckets ->
+    per-bucket deterministic hash-ordered batches of
+    max(1, 512 div bucket_len) rows (operators/text.
+    length_bucketed_batches — the pack_sequences distributed-prefix
+    shape, per-(partition, bucket) windows, never SinglePartition)."""
+    from batukh_spark.operators.text import (length_bucketed_batches,
+                                             tokens_col)
+    docs = t_spread(spark, sf, "documents")
+    tk = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long")
+        .alias("n_tokens"))
+    return length_bucketed_batches(tk, batch_max_tokens=512)
+
+
+LENGTH_BUCKETED_SQL = r"""
+with tk as (
+  select doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> ''))::bigint as n_tokens
+  from documents
+), b as (
+  select doc_id, n_tokens,
+         (case when n_tokens <= 1 then 1
+               else (1::bigint << length(bin(n_tokens - 1)))
+          end)::bigint as bucket_len
+  from tk where n_tokens > 0
+), rk as (
+  select *,
+         row_number() over (partition by bucket_len
+                            order by md5('bucket:' || doc_id::varchar),
+                                     doc_id) - 1 as rnk
+  from b
+)
+select doc_id, n_tokens, bucket_len,
+       (rnk // greatest(1, 512 // bucket_len))::bigint as batch_idx,
+       (bucket_len - n_tokens)::bigint as pad_tokens
+from rk
+"""
+
+
 def _split_case_sql(key_expr: str, weights: dict[str, float],
                     salt: str) -> str:
     """DuckDB mirror of operators/sampling.split_assign — generated
@@ -3524,6 +3566,8 @@ QUERIES = {
                                TRUNCATE_CONVERSATIONS_SQL),
     "merge_turns": (merge_turns_q, MERGE_TURNS_SQL),
     "token_budget_sample": (token_budget_sample_q, TOKEN_BUDGET_SQL),
+    "length_bucketed_batches": (length_bucketed_batches_q,
+                                LENGTH_BUCKETED_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

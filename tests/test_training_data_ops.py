@@ -744,3 +744,61 @@ def test_decontaminate_spans_plan_broadcasts_benchmark(spark):
     plan = (decontaminate_spans(docs, bench)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_length_bucketed_batches_invariants(spark):
+    """Buckets are ceil-powers-of-two, every batch fits the token
+    budget via its static shape, full batches have exactly
+    batch_rows rows, and empty rows drop."""
+    from batukh_spark.operators.text import length_bucketed_batches
+    rows = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(
+            [1, 2, 3, 5, 8, 9, 15, 16, 17, 30, 33, 64, 100, 120, 0, -2]
+            + [20] * 40)],
+        "doc_id long, n_tokens long")
+    out = length_bucketed_batches(rows, batch_max_tokens=64).collect()
+    assert len(out) == 54                      # 0 and -2 dropped
+    for r in out:
+        b = r.bucket_len
+        assert b >= r.n_tokens and b & (b - 1) == 0
+        if r.n_tokens >= 2:
+            assert b < 2 * r.n_tokens
+        assert r.pad_tokens == b - r.n_tokens
+    from collections import Counter
+    per_batch = Counter((r.bucket_len, r.batch_idx) for r in out)
+    for (b, idx), cnt in per_batch.items():
+        batch_rows = max(1, 64 // b)
+        assert cnt <= batch_rows
+        # non-last batches are full
+        last = max(i for bb, i in per_batch if bb == b)
+        if idx < last:
+            assert cnt == batch_rows
+    # 40 rows of n=20 -> bucket 32 -> 2 rows per batch -> >= 20 batches
+    assert sum(1 for (b, _) in per_batch if b == 32) >= 20
+
+
+def test_length_bucketed_batches_oversized_and_determinism(spark):
+    """Rows longer than the budget form singleton batches; the
+    assignment is identical under different input partitioning."""
+    from batukh_spark.operators.text import length_bucketed_batches
+    rows = spark.createDataFrame(
+        [(i, 100) for i in range(6)] + [(10 + i, 7) for i in range(9)],
+        "doc_id long, n_tokens long")
+    a = {r.doc_id: (r.bucket_len, r.batch_idx)
+         for r in length_bucketed_batches(rows, 64).collect()}
+    b = {r.doc_id: (r.bucket_len, r.batch_idx)
+         for r in length_bucketed_batches(rows.repartition(7), 64).collect()}
+    assert a == b
+    big = [v for v in a.values() if v[0] == 128]
+    assert len(big) == 6 and len({i for _, i in big}) == 6  # singletons
+
+
+def test_length_bucketed_batches_plan_no_single_partition(spark):
+    from batukh_spark.operators.text import length_bucketed_batches
+    rows = spark.createDataFrame(
+        [(i, 10 + i % 50) for i in range(200)],
+        "doc_id long, n_tokens long")
+    plan = (length_bucketed_batches(rows, 256)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan         # offsets join
