@@ -361,3 +361,54 @@ def ivf_topk(spark, index_dir: str, query_id: int, k: int = 10,
               [:nprobe]]
     pruned = vectors.filter(F.col("cluster").isin(probes)).drop("cluster")
     return cosine_topk(pruned, query_id, k, id_col, vec_col)
+
+
+def hard_negatives(emb: DataFrame, anchors: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor,
+    the k corpus vectors MOST similar to it that carry a DIFFERENT
+    label — the negatives that actually move an embedding model,
+    versus random negatives the model already separates.
+
+    `anchors` is a (id_col, vec_col, label_col) table, small relative
+    to the corpus (a training batch / sampled probe set) -> BROADCAST;
+    the corpus side scores scan-local against every anchor.  Returns
+    (anchor_id, vec_id, cos_sim) — k rows per anchor, cos rounded to
+    6 decimals, ties broken by vec_id asc (total, deterministic).
+
+    Scale: two-phase top-k.  Phase 1 takes the per-anchor top-k
+    WITHIN each physical input partition (window keyed on
+    (anchor, partition id) — many keys, no skew), collapsing
+    |corpus| x |anchors| scored rows to n_partitions x |anchors| x k;
+    phase 2's per-anchor window then sees k rows per partition, so no
+    anchor ever concentrates the corpus on one task.  Only
+    (anchor_id, id, double) triples ever shuffle — vectors die at the
+    scan.  At 100 TB the same shape composes with IVF probe pruning
+    (`ivf_topk`) to cut the scanned corpus per anchor."""
+    if not (isinstance(k, int) and k >= 1):
+        raise ValueError(f"k must be an int >= 1, got {k!r}")
+    from pyspark.sql import Window
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).cast("array<double>").alias("__avec"),
+        F.col(label_col).alias("__albl"))
+    scored = (emb
+              .select(F.col(id_col), F.col(label_col),
+                      F.col(vec_col).cast("array<double>").alias("__e"))
+              .crossJoin(F.broadcast(a))
+              .filter((F.col(label_col) != F.col("__albl"))
+                      & (F.col(id_col) != F.col("anchor_id")))
+              .select(F.col("anchor_id"), F.col(id_col),
+                      F.round(cosine(F.col("__e"), F.col("__avec")), 6)
+                      .alias("cos_sim"))
+              .withColumn("__part", F.spark_partition_id()))
+    w1 = Window.partitionBy("anchor_id", "__part") \
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+    local = (scored
+             .withColumn("__rn", F.row_number().over(w1))
+             .filter(F.col("__rn") <= k).drop("__rn", "__part"))
+    w2 = Window.partitionBy("anchor_id") \
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (local.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= k).drop("__rn"))

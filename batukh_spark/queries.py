@@ -726,6 +726,44 @@ order by cos_sim desc, vec_id asc limit 10
 """
 
 
+def hard_negatives_q(spark, sf):
+    """Hard-negative mining: anchors = every 50th vector (10 of 500);
+    for each, the 5 most-cosine-similar vectors with a DIFFERENT
+    label (operators/similarity.hard_negatives — broadcast anchors,
+    two-phase top-k, vectors never shuffle)."""
+    from batukh_spark.operators.similarity import hard_negatives
+    emb = t_spread(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    return hard_negatives(emb, anchors, k=5)
+
+
+HARD_NEGATIVES_SQL = """
+with a as (
+  select vec_id as anchor_id, embedding::double[] as avec,
+         label as albl
+  from embeddings where vec_id % 50 = 0
+), e as (
+  select vec_id, label, embedding::double[] as ev from embeddings
+), s as (
+  select a.anchor_id, e.vec_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(ev)),
+                                   i -> ev[i] * avec[i]))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(ev)),
+                                           i -> ev[i] * ev[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(avec)),
+                                             i -> avec[i] * avec[i])))),
+           6) as cos_sim
+  from a join e on e.label <> a.albl and e.vec_id <> a.anchor_id
+), r as (
+  select *, row_number() over (partition by anchor_id
+                               order by cos_sim desc, vec_id) as rn
+  from s
+)
+select anchor_id, vec_id, cos_sim from r where rn <= 5
+"""
+
+
 def cosine_near_dup_adjacent(spark, sf):
     """Embedding-cosine near-dup flags for adjacent vec_id pairs (the
     SQL-checkable slice of cosine near-dup dedup; the scalable all-pairs
@@ -3527,6 +3565,7 @@ QUERIES = {
     "cosine_topk": (cosine_topk_q, COSINE_TOPK_SQL),
     "cosine_near_dup_adjacent": (cosine_near_dup_adjacent,
                                  COSINE_NEAR_DUP_SQL),
+    "hard_negatives": (hard_negatives_q, HARD_NEGATIVES_SQL),
     "ivf_cluster_sizes": (ivf_cluster_sizes, IVF_SQL),
     "ivf_recall_topk": (ivf_recall_topk, IVF_RECALL_SQL),
     "srp_near_dup": (srp_near_dup_q, SRP_NEAR_DUP_SQL),

@@ -356,3 +356,59 @@ def test_sample_frames_fan_out(spark, docs):
         assert sorted(per[mid]) == want, mid
     # 1 -> N fan-out total
     assert len(rows) == sum(math.ceil(n / 4) for n in metas.values())
+
+
+def test_hard_negatives_planted_geometry(spark):
+    """Hand-built vectors: the most-similar different-label vector
+    wins; same-label vectors are excluded no matter how close."""
+    from batukh_spark.operators.similarity import hard_negatives
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),     # anchor
+        (1, [0.99, 0.14, 0.0], 0),   # same label: excluded
+        (2, [0.9, 0.43, 0.0], 1),    # best different-label
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    anchors = emb.filter("vec_id = 0")
+    got = [(r.vec_id, r.cos_sim)
+           for r in hard_negatives(emb, anchors, k=2)
+           .orderBy("cos_sim", ascending=False).collect()]
+    assert [v for v, _ in got] == [2, 3]
+    assert got[0][1] > 0.89 and 1 not in [v for v, _ in got]
+
+
+def test_hard_negatives_k_rows_and_determinism(spark):
+    """Exactly k rows per anchor (when enough negatives exist), and
+    the result is identical under different input partitioning —
+    the two-phase local top-k cannot change the answer."""
+    from batukh_spark.operators.similarity import hard_negatives
+    import math
+    rows = [(i, [math.cos(i * 0.1), math.sin(i * 0.1), 0.5], i % 3)
+            for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    anchors = emb.filter("vec_id % 20 = 0")
+    a = sorted((r.anchor_id, r.vec_id)
+               for r in hard_negatives(emb, anchors, k=4).collect())
+    b = sorted((r.anchor_id, r.vec_id)
+               for r in hard_negatives(emb.repartition(13), anchors, k=4)
+               .collect())
+    assert a == b
+    from collections import Counter
+    per_anchor = Counter(x for x, _ in a)
+    assert set(per_anchor.values()) == {4}
+    assert len(per_anchor) == 3
+
+
+def test_hard_negatives_plan_broadcasts_anchors(spark):
+    from batukh_spark.operators.similarity import hard_negatives
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(50)],
+        "vec_id long, embedding array<double>, label int")
+    anchors = emb.filter("vec_id < 3")
+    plan = (hard_negatives(emb, anchors, k=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
