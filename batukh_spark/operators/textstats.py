@@ -656,3 +656,65 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
                     .alias("n_bigrams"),
                     F.coalesce("__s", F.lit(0)).cast("long")
                     .alias("bigram_logprob_micro")))
+
+
+def build_vocab(docs: DataFrame, size: int, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Top-`size` corpus tokens by frequency — the word-level vocab a
+    tokenizer-coverage audit runs against.  Ties at the cut break by
+    token asc, so the vocab is total and deterministic.  Returns
+    (token, n_occurrences).
+
+    Scale: explode -> groupBy(token) with map-side partial counts
+    (the shuffle carries (token, long) pairs), then a global
+    TakeOrderedAndProject for the top-`size` — never a full sort."""
+    if not (isinstance(size, int) and size >= 1):
+        raise ValueError(f"size must be an int >= 1, got {size!r}")
+    from batukh_spark.operators.text import tokens_col
+    return (docs
+            .select(F.explode(tokens_col(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("token"))
+            .limit(size))
+
+
+def vocab_coverage(docs: DataFrame, vocab: DataFrame,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document out-of-vocabulary audit against a vocab table —
+    the check that a tokenizer (or a fixed word list) actually covers
+    a new data source before it enters the mix; a spike in OOV rate
+    is the classic symptom of wrong-language / wrong-domain /
+    mojibake data.  `vocab` needs a `token` column (build_vocab
+    output or an external list).
+
+    Returns (id_col, n_tokens, n_oov, oov_ppm) for EVERY input doc;
+    oov_ppm = integer parts-per-million (n_oov * 1e6 div n_tokens, 0
+    for empty docs) — integer so the rate is bit-identical across
+    engines.
+
+    Scale: the vocab BROADCASTS (vocabularies are tiny); the token
+    explode dies into the broadcast join scan-local, and the only
+    shuffle is the per-doc (id, counts) aggregation with map-side
+    partials."""
+    from batukh_spark.operators.text import tokens_col
+    v = F.broadcast(vocab.select(F.col("token")).distinct()
+                    .withColumn("__in", F.lit(1)))
+    toks = (docs
+            .select(F.col(id_col),
+                    F.explode(tokens_col(text_col)).alias("token")))
+    cov = (toks.join(v, "token", "left")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("__nt"),
+                F.sum(F.when(F.col("__in").isNull(), 1)
+                      .otherwise(0)).alias("__no")))
+    return (docs.select(F.col(id_col)).join(cov, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("__nt"), F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce(F.col("__no"), F.lit(0)).cast("long")
+                    .alias("n_oov"),
+                    F.when(F.coalesce(F.col("__nt"), F.lit(0)) > 0,
+                           F.expr("(__no * 1000000) div __nt"))
+                    .otherwise(F.lit(0)).cast("long").alias("oov_ppm")))

@@ -2875,6 +2875,46 @@ from rn group by conv_id, run
 """)
 
 
+def vocab_coverage_q(spark, sf):
+    """Per-doc OOV audit against the corpus' own top-40 token vocab
+    (textstats.build_vocab -> vocab_coverage — broadcast vocab join,
+    integer-ppm rate).  The 40-token cut leaves real OOV mass, so the
+    oracle must reproduce exact per-doc counts and rates."""
+    from batukh_spark.operators.textstats import (build_vocab,
+                                                  vocab_coverage)
+    docs = t_spread(spark, sf, "documents")
+    vocab = build_vocab(docs, 40)
+    return vocab_coverage(docs, vocab)
+
+
+VOCAB_COVERAGE_SQL = r"""
+with tk as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') as tokens
+  from documents
+), tok as (
+  select doc_id, unnest(tokens) as token from tk
+), vc as (
+  select token, count(*) as cnt from tok group by token
+), v as (
+  select token from vc order by cnt desc, token limit 40
+), cov as (
+  select t.doc_id, count(*) as nt,
+         sum(case when v.token is null then 1 else 0 end) as noov
+  from tok t left join v on t.token = v.token
+  group by t.doc_id
+)
+select d.doc_id,
+       coalesce(c.nt, 0)::bigint as n_tokens,
+       coalesce(c.noov, 0)::bigint as n_oov,
+       (case when coalesce(c.nt, 0) > 0
+             then (c.noov * 1000000) // c.nt else 0 end)::bigint
+         as oov_ppm
+from documents d left join cov c using (doc_id)
+"""
+
+
 def length_bucketed_batches_q(spark, sf):
     """Length-bucketed fixed-shape batching over the documents table:
     per-doc whitespace token counts -> ceil-power-of-two buckets ->
@@ -3607,6 +3647,7 @@ QUERIES = {
     "token_budget_sample": (token_budget_sample_q, TOKEN_BUDGET_SQL),
     "length_bucketed_batches": (length_bucketed_batches_q,
                                 LENGTH_BUCKETED_SQL),
+    "vocab_coverage": (vocab_coverage_q, VOCAB_COVERAGE_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

@@ -802,3 +802,43 @@ def test_length_bucketed_batches_plan_no_single_partition(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan         # offsets join
+
+
+def test_build_vocab_top_and_tiebreak(spark):
+    from batukh_spark.operators.textstats import build_vocab
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c d"), (2, "b c c d e")],
+        "doc_id long, text string")
+    got = [(r.token, r.n_occurrences)
+           for r in build_vocab(docs, 3).collect()]
+    # counts: a=3, b=3, c=3, d=2, e=1; tie a/b/c broken by token asc
+    assert got == [("a", 3), ("b", 3), ("c", 3)]
+
+
+def test_vocab_coverage_counts_and_ppm(spark):
+    from batukh_spark.operators.textstats import vocab_coverage
+    docs = spark.createDataFrame(
+        [(1, "a b XX yy"),           # 2 oov of 4 -> 500000 ppm
+         (2, "A B a"),               # lowered: all in vocab
+         (3, ""),                    # empty doc
+         (4, "zz zz zz")],           # all oov
+        "doc_id long, text string")
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_ppm)
+           for r in vocab_coverage(docs, vocab).collect()}
+    assert got[1] == (4, 2, 500000)
+    assert got[2] == (3, 0, 0)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (3, 3, 1000000)
+
+
+def test_vocab_coverage_plan_broadcasts_vocab(spark):
+    from batukh_spark.operators.textstats import (build_vocab,
+                                                  vocab_coverage)
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 5} common") for i in range(100)],
+        "doc_id long, text string")
+    plan = (vocab_coverage(docs, build_vocab(docs, 5))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan    # vocab top-k, no full sort
