@@ -304,3 +304,69 @@ def temperature_sample(docs, target: int, alpha: float = 0.5,
                       domain_col)
             .filter(h < thr)
             .select(F.col(id_col), F.col(domain_col)))
+
+
+def interleave_domains(rows, domain_col: str = "lang",
+                       id_col: str = "doc_id", epoch: int = 0,
+                       salt: str = "ilv"):
+    """Domain-interleaved global training order: every document takes
+    a deterministic per-domain rank (md5(salt || epoch || id) order,
+    like `epoch_order`), and the global position orders by
+    (domain_rank, domain) — a strict round-robin across domains in
+    which exhausted domains simply drop out of the cycle.  This is
+    the mixing step that keeps consecutive training examples
+    heterogeneous (no thousand-doc single-domain stretches, which
+    spike gradient correlation), while staying resumable and
+    cluster/retry-independent like every ordering in this engine.
+
+    Returns (id_col, domain_col, domain_rank, global_pos) with both
+    ranks dense from 0.
+
+    Scale: the per-domain rank is the pack_sequences distributed
+    prefix shape keyed on (physical partition, domain); per-domain
+    sizes (a k-row planning collect, k = |domains|) then turn the
+    global position into a CLOSED FORM —
+        global_pos = sum_d' min(rank, n_d') + #{d' < d : n_d' > rank}
+    — built as 2*|domains| codegen terms, so the interleave costs no
+    second shuffle and no global sort at all."""
+    from pyspark.sql import Window
+    spark = rows.sparkSession
+    h = F.md5(F.concat(F.lit(f"{salt}{int(epoch)}:"),
+                       F.col(id_col).cast("string")))
+    slim = rows.select(F.col(id_col), F.col(domain_col).alias("__d"),
+                       h.alias("__h"))
+    n_parts = spark.sparkContext.defaultParallelism
+    ordered = (slim.repartitionByRange(n_parts, "__d", "__h", id_col)
+               .sortWithinPartitions("__d", "__h", id_col)
+               .withColumn("__part", F.spark_partition_id())
+               .localCheckpoint())
+    w = Window.partitionBy("__part", "__d").orderBy("__h", id_col)
+    local = ordered.withColumn("__local",
+                               F.row_number().over(w) - F.lit(1))
+    totals = sorted(
+        ordered.groupBy("__part", "__d").count().collect(),
+        key=lambda r: (r["__d"], r["__part"]))
+    offsets, off, cur_d = [], 0, None
+    sizes = {}
+    for r in totals:
+        if r["__d"] != cur_d:
+            cur_d, off = r["__d"], 0
+        offsets.append((r["__part"], r["__d"], off))
+        off += r["count"]
+        sizes[r["__d"]] = off
+    odf = spark.createDataFrame(offsets or [(0, "", 0)],
+                                "__opart int, __od string, __off long")
+    joined = local.join(
+        F.broadcast(odf),
+        (local["__part"] == odf["__opart"]) & (local["__d"] == odf["__od"]))
+    rank = (F.col("__off") + F.col("__local")).cast("long")
+    # closed-form interleave position from the k collected sizes
+    pos = F.lit(0).cast("long")
+    for d in sorted(sizes):
+        n_d = F.lit(sizes[d]).cast("long")
+        pos = pos + F.least(rank, n_d)
+        pos = pos + F.when((F.lit(d) < F.col("__d")) & (n_d > rank),
+                           F.lit(1).cast("long")).otherwise(F.lit(0))
+    return joined.select(F.col(id_col), F.col("__d").alias(domain_col),
+                         rank.alias("domain_rank"),
+                         pos.alias("global_pos"))

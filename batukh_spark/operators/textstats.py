@@ -718,3 +718,51 @@ def vocab_coverage(docs: DataFrame, vocab: DataFrame,
                     F.when(F.coalesce(F.col("__nt"), F.lit(0)) > 0,
                            F.expr("(__no * 1000000) div __nt"))
                     .otherwise(F.lit(0)).cast("long").alias("oov_ppm")))
+
+
+def token_length_profile(docs: DataFrame, qs=(25, 50, 75, 90, 99),
+                         domain_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Per-domain token-length distribution profile with EXACT
+    quantiles — the corpus health report that sizes context windows,
+    spots truncated/exploded sources, and feeds the chunking/packing
+    knobs.  p_q = the smallest length L whose cumulative doc count
+    reaches ceil(q/100 * n_docs) (inverse-CDF lower semantics, chosen
+    over approx-percentile sketches because it is bit-identical
+    across engines and partitionings).
+
+    Returns one row per domain:
+    (domain_col, n_docs, total_tokens, p25, p50, p75, p90, p99)
+    (columns follow `qs`).
+
+    Scale: the corpus collapses FIRST to a (domain, length, count)
+    histogram via a map-side-partial groupBy — the only corpus-wide
+    shuffle, carrying three longs per distinct (domain, length).
+    Every window after that runs on the histogram, which is bounded
+    by |domains| x |distinct lengths| (thousands of rows at any
+    corpus size), the same small-table class as the IVF codebook."""
+    from pyspark.sql import Window
+    from batukh_spark.operators.text import tokens_col
+    lens = docs.select(F.col(domain_col).alias("__d"),
+                       F.size(tokens_col(text_col)).cast("long")
+                       .alias("__len"))
+    hist = lens.groupBy("__d", "__len").agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    w = (Window.partitionBy("__d").orderBy("__len")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wd = Window.partitionBy("__d")
+    cum = (hist
+           .withColumn("__cum", F.sum("__cnt").over(w))
+           .withColumn("__n", F.sum("__cnt").over(wd))
+           .withColumn("__tok", F.sum(F.col("__len") * F.col("__cnt"))
+                       .over(wd)))
+    aggs = [F.max("__n").cast("long").alias("n_docs"),
+            F.max("__tok").cast("long").alias("total_tokens")]
+    for q in qs:
+        # integer form of cum >= ceil(n*q/100): 100*cum >= n*q
+        aggs.append(
+            F.min(F.when(F.col("__cum") * 100 >= F.col("__n") * q,
+                         F.col("__len")))
+            .cast("long").alias(f"p{q}"))
+    return (cum.groupBy(F.col("__d").alias(domain_col))
+            .agg(*aggs))

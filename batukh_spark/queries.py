@@ -2875,6 +2875,67 @@ from rn group by conv_id, run
 """)
 
 
+def token_length_profile_q(spark, sf):
+    """Per-source token-length profile with exact inverse-CDF
+    quantiles (textstats.token_length_profile — corpus collapses to a
+    (domain, length, count) histogram first; every window runs on the
+    histogram)."""
+    from batukh_spark.operators.textstats import token_length_profile
+    docs = t_spread(spark, sf, "documents")
+    return token_length_profile(docs)
+
+
+TOKEN_LENGTH_PROFILE_SQL = r"""
+with lens as (
+  select source,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> ''))::bigint as l
+  from documents
+), hist as (
+  select source, l, count(*) as cnt from lens group by source, l
+), cum as (
+  select source, l, cnt,
+         sum(cnt) over (partition by source order by l
+                        rows unbounded preceding) as c,
+         sum(cnt) over (partition by source) as n,
+         sum(l * cnt) over (partition by source) as tok
+  from hist
+)
+select source, max(n)::bigint as n_docs, max(tok)::bigint as total_tokens,
+       min(case when c * 100 >= n * 25 then l end)::bigint as p25,
+       min(case when c * 100 >= n * 50 then l end)::bigint as p50,
+       min(case when c * 100 >= n * 75 then l end)::bigint as p75,
+       min(case when c * 100 >= n * 90 then l end)::bigint as p90,
+       min(case when c * 100 >= n * 99 then l end)::bigint as p99
+from cum group by source
+"""
+
+
+def interleave_domains_q(spark, sf):
+    """Domain-interleaved training order over documents keyed on
+    lang (operators/sampling.interleave_domains — per-domain
+    distributed rank + closed-form round-robin position from the
+    k collected domain sizes; no global sort)."""
+    from batukh_spark.operators.sampling import interleave_domains
+    docs = t_spread(spark, sf, "documents")
+    return interleave_domains(docs, domain_col="lang")
+
+
+INTERLEAVE_DOMAINS_SQL = """
+with r as (
+  select doc_id, lang,
+         row_number() over (partition by lang
+                            order by md5('ilv0:' || doc_id::varchar),
+                                     doc_id) - 1 as domain_rank
+  from documents
+)
+select doc_id, lang, domain_rank::bigint as domain_rank,
+       (row_number() over (order by domain_rank, lang) - 1)::bigint
+         as global_pos
+from r
+"""
+
+
 def vocab_coverage_q(spark, sf):
     """Per-doc OOV audit against the corpus' own top-40 token vocab
     (textstats.build_vocab -> vocab_coverage — broadcast vocab join,
@@ -3648,6 +3709,9 @@ QUERIES = {
     "length_bucketed_batches": (length_bucketed_batches_q,
                                 LENGTH_BUCKETED_SQL),
     "vocab_coverage": (vocab_coverage_q, VOCAB_COVERAGE_SQL),
+    "interleave_domains": (interleave_domains_q, INTERLEAVE_DOMAINS_SQL),
+    "token_length_profile": (token_length_profile_q,
+                             TOKEN_LENGTH_PROFILE_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

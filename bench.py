@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "packed_sequences",
     "fingerprint_candidates", "incremental_keep_set", "training_mix",
     "training_batches", "pii_redact", "decontaminate",
+    "decontaminate_spans", "cut_contaminated",
     "duplicated_passages", "passage_excision",
     "cosine_topk", "ivf_cluster_sizes", "srp_near_dup", "media_features",
     "video_frame_sample",
@@ -77,6 +78,9 @@ BENCH_QUERIES = [
     "token_budget_sample", "epoch_order", "unigram_logprob",
     "trace_stats", "role_transitions", "sft_samples",
     "bigram_logprob", "sft_mix", "packed_loss_masks", "best_of_n",
+    "preference_pairs", "split_leakage", "temperature_sample",
+    "truncate_conversations", "merge_turns",
+    "length_bucketed_batches", "vocab_coverage", "hard_negatives",
 ]
 # srp_recall is excluded: its brute-force TRUTH SET is intentionally
 # all-pairs (it exists to measure the banded path's recall) and runs at

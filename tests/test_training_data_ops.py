@@ -842,3 +842,61 @@ def test_vocab_coverage_plan_broadcasts_vocab(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan    # vocab top-k, no full sort
+
+
+def test_interleave_domains_round_robin(spark):
+    """Global positions cycle through domains round-robin; exhausted
+    domains drop out of the cycle; ranks and positions are dense."""
+    from batukh_spark.operators.sampling import interleave_domains
+    rows = spark.createDataFrame(
+        [(i, "a") for i in range(5)]
+        + [(10 + i, "b") for i in range(3)]
+        + [(20, "c")],
+        "doc_id long, lang string")
+    out = sorted(interleave_domains(rows).collect(),
+                 key=lambda r: r.global_pos)
+    assert [r.global_pos for r in out] == list(range(9))
+    seq = [r.lang for r in out]
+    # round 0 has all three domains, round 1+2 a,b; rounds 3,4 only a
+    assert sorted(seq[:3]) == ["a", "b", "c"]
+    assert sorted(seq[3:5]) == ["a", "b"]
+    assert sorted(seq[5:7]) == ["a", "b"]
+    assert seq[7:] == ["a", "a"]
+    # within each round, domains appear in lexicographic order
+    assert seq[:3] == ["a", "b", "c"]
+    # per-domain ranks dense and increasing along global order
+    for d, n in (("a", 5), ("b", 3), ("c", 1)):
+        assert [r.domain_rank for r in out if r.lang == d] \
+            == list(range(n))
+
+
+def test_interleave_domains_partitioning_invariant(spark):
+    from batukh_spark.operators.sampling import interleave_domains
+    rows = spark.createDataFrame(
+        [(i, f"d{i % 4}") for i in range(80)], "doc_id long, lang string")
+    a = sorted((r.doc_id, r.domain_rank, r.global_pos)
+               for r in interleave_domains(rows).collect())
+    b = sorted((r.doc_id, r.domain_rank, r.global_pos)
+               for r in interleave_domains(rows.repartition(11)).collect())
+    assert a == b
+    assert [p for _, _, p in a] != []
+
+
+def test_token_length_profile_exact_quantiles(spark):
+    """Known distribution: inverse-CDF-lower quantiles come out
+    exactly; totals add up."""
+    from batukh_spark.operators.textstats import token_length_profile
+    # domain x: lengths 1..10 (one doc each); domain y: 4 docs of 7
+    docs = spark.createDataFrame(
+        [(i, "x", " ".join(f"t{j}" for j in range(i)))
+         for i in range(1, 11)]
+        + [(100 + i, "y", "a b c d e f g") for i in range(4)],
+        "doc_id long, source string, text string")
+    got = {r.source: r for r in token_length_profile(docs).collect()}
+    x = got["x"]
+    assert (x.n_docs, x.total_tokens) == (10, 55)
+    # ceil(q/100 * 10)-th smallest of 1..10 = ceil(q/10)
+    assert (x.p25, x.p50, x.p75, x.p90, x.p99) == (3, 5, 8, 9, 10)
+    y = got["y"]
+    assert (y.n_docs, y.total_tokens) == (4, 28)
+    assert (y.p25, y.p50, y.p75, y.p90, y.p99) == (7, 7, 7, 7, 7)
