@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "preference_pairs", "split_leakage", "temperature_sample",
     "truncate_conversations", "merge_turns",
     "length_bucketed_batches", "vocab_coverage", "hard_negatives",
+    "interleave_domains", "token_length_profile",
 ]
 # srp_recall is excluded: its brute-force TRUTH SET is intentionally
 # all-pairs (it exists to measure the banded path's recall) and runs at
