@@ -407,3 +407,59 @@ def streaming_conversation_docs(spark: SparkSession, source_dir: str):
                 stateStructType=_CONV_DOC_STATE,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_oov_monitor(spark: SparkSession, source_dir: str,
+                          vocab, window: str = "1 hour",
+                          watermark: str = "2 hours"):
+    """Ingestion data-quality monitor: per event-time window, token
+    and out-of-vocabulary counts against a STATIC vocab — the
+    streaming twin of `textstats.vocab_coverage` at monitor
+    granularity.  An OOV-ppm spike in a window is the on-arrival
+    alarm for wrong-language / mojibake / format-drift data, caught
+    before it enters the corpus instead of at the next batch audit.
+
+    `vocab` is a static DataFrame with a `token` column (a batch
+    `build_vocab` output read back, or an external list).  Its
+    snapshot is fixed at stream construction — the same contract as
+    the dedup signature store; restart the query to pick up a new
+    vocab.
+
+    Returns an unstarted streaming DataFrame:
+    (w, n_tokens, n_oov, oov_ppm) per window (token-less turns keep
+    their window alive via explode_outer but add no tokens).
+
+    Scale: tokens explode scan-local and die into the BROADCAST
+    stream-static vocab join; the windowed aggregation sees only
+    (window, counts) after map-side partials, and the watermark
+    bounds state to the late-data horizon."""
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.text import tokens_col
+
+    v = F.broadcast(vocab.select(F.col("token")).distinct()
+                    .withColumn("__in", F.lit(1)))
+    stream = (spark.readStream
+              .schema(TRANSCRIPTS_SCHEMA)
+              .parquet(source_dir))
+    toks = (stream
+            .select("ts", F.col("conv_id"),
+                    F.explode_outer(tokens_col("text")).alias("token"))
+            .join(v, "token", "left"))
+    agg = (toks
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"))
+           .agg(F.count(F.lit(1)).alias("__rows"),
+                F.sum(F.when(F.col("token").isNull(), 1).otherwise(0))
+                .alias("__null_rows"),
+                F.sum(F.when(F.col("token").isNotNull()
+                             & F.col("__in").isNull(), 1).otherwise(0))
+                .alias("n_oov")))
+    n_tokens = F.col("__rows") - F.col("__null_rows")
+    return agg.select(
+        "w",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.when(n_tokens > 0,
+               F.expr("(n_oov * 1000000) div (__rows - __null_rows)"))
+        .otherwise(F.lit(0)).cast("long").alias("oov_ppm"))

@@ -249,3 +249,43 @@ def test_streaming_conversation_docs_matches_batch(spark, dirs):
     want = {r.conv_id: (r.n_turns, r.n_bytes, r.doc_text)
             for r in assemble_conversations(batch_ext).collect()}
     assert got == want
+
+
+def test_streaming_oov_monitor_matches_batch(spark, dirs):
+    """Stream OOV windows == the same computation done in batch on the
+    same files; vocabulary misses count, empty turns don't."""
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.text import tokens_col
+    from batukh_spark.operators.textstats import build_vocab
+    from batukh_spark.streaming.incremental import streaming_oov_monitor
+
+    df = make_transcripts(spark, 30, partitions=4)
+    df.write.parquet(dirs["src"])
+    # vocab = top tokens of HALF the corpus, so real OOV mass exists
+    half = df.filter(F.col("turn_idx") % 2 == 0) \
+        .select(F.col("text"))
+    vocab = build_vocab(half.withColumn("doc_id", F.lit(0)), 80)
+    vocab_pdf = vocab.collect()
+    vocab_static = spark.createDataFrame(vocab_pdf, vocab.schema)
+
+    agg = streaming_oov_monitor(spark, dirs["src"], vocab_static,
+                                window="1 hour", watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("oovm")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.w: (r.n_tokens, r.n_oov, r.oov_ppm)
+           for r in spark.sql("select * from oovm").collect()}
+
+    vtokens = {r.token for r in vocab_pdf}
+    batch = (spark.read.parquet(dirs["src"])
+             .select("ts", F.explode(tokens_col("text")).alias("token"))
+             .groupBy(F.window("ts", "1 hour").alias("w"))
+             .agg(F.count(F.lit(1)).alias("nt"),
+                  F.sum(F.when(~F.col("token").isin(vtokens), 1)
+                        .otherwise(0)).alias("no"))
+             .collect())
+    want = {r.w: (r.nt, r.no, r.no * 1000000 // r.nt) for r in batch}
+    assert got == want
+    assert sum(no for _, no, _ in got.values()) > 0      # real OOV mass
+    assert len(got) > 1                                  # several windows
