@@ -766,3 +766,38 @@ def token_length_profile(docs: DataFrame, qs=(25, 50, 75, 90, 99),
             .cast("long").alias(f"p{q}"))
     return (cum.groupBy(F.col("__d").alias(domain_col))
             .agg(*aggs))
+
+
+def mix_report(rows, dims=("source", "lang"), text_col: str = "text"):
+    """Corpus composition report — the table a data lead reads after a
+    mix lands: ROLLUP over `dims` (per-group, per-prefix subtotals,
+    and the grand total in one pass) with document counts, token
+    totals, and each group's token share in integer ppm of the grand
+    total.  A mixture spec says "30% code, 50% web"; this is the
+    operator that verifies the corpus actually landed there.
+
+    Returns (*dims, n_docs, n_tokens, token_ppm); subtotal rows carry
+    NULL in the rolled-up dims (standard ROLLUP convention) and the
+    grand-total row has token_ppm = 1000000.
+
+    Scale: token counts are scan-local; the ROLLUP aggregation uses
+    map-side partials and its output is bounded by the dim
+    cardinalities (a report, not a corpus); the grand total joins
+    back as a broadcast 1-row table, so the corpus is scanned ONCE."""
+    from batukh_spark.operators.text import tokens_col
+    tok = rows.select(*[F.col(d) for d in dims],
+                      F.size(tokens_col(text_col)).cast("long")
+                      .alias("__t"))
+    agg = (tok.rollup(*dims)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__t").alias("n_tokens"),
+                F.grouping_id().alias("__gid")))
+    grand = (1 << len(dims)) - 1
+    total = (agg.filter(F.col("__gid") == grand)
+             .select(F.col("n_tokens").alias("__tot")))
+    return (agg.crossJoin(F.broadcast(total))
+            .select(*[F.col(d) for d in dims],
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.expr("(n_tokens * 1000000) div __tot")
+                    .cast("long").alias("token_ppm")))

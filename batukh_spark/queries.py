@@ -2875,6 +2875,78 @@ from rn group by conv_id, run
 """)
 
 
+def mix_report_q(spark, sf):
+    """Corpus composition ROLLUP over (source, lang): per-group,
+    per-source-subtotal, and grand-total doc/token counts with
+    integer-ppm token shares (textstats.mix_report — one corpus scan,
+    broadcast grand total)."""
+    from batukh_spark.operators.textstats import mix_report
+    docs = t_spread(spark, sf, "documents")
+    return mix_report(docs)
+
+
+MIX_REPORT_SQL = r"""
+with tok as (
+  select source, lang,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> ''))::bigint as t
+  from documents
+), agg as (
+  select source, lang, count(*)::bigint as n_docs,
+         sum(t)::bigint as n_tokens,
+         grouping(source, lang) as gid
+  from tok group by rollup (source, lang)
+), tot as (
+  select n_tokens as tt from agg where gid = 3
+)
+select source, lang, n_docs, n_tokens,
+       ((n_tokens * 1000000) // tt)::bigint as token_ppm
+from agg, tot
+"""
+
+
+def corpus_delta_q(spark, sf):
+    """Snapshot diff with a PLANTED re-crawl: the 'new' corpus drops
+    every doc_id % 13 = 4 (removed), appends a marker to every
+    doc_id % 7 = 1 (changed), and gains 20 fresh ids (added); all
+    other docs must come back unchanged (operators/delta.corpus_delta
+    — one full-outer join of (id, md5) pairs, text never shuffles)."""
+    from batukh_spark.operators.delta import corpus_delta
+    docs = t_spread(spark, sf, "documents")
+    changed = F.when(F.col("doc_id") % 7 == 1,
+                     F.concat(F.col("text"), F.lit(" recrawl-delta"))) \
+        .otherwise(F.col("text"))
+    new = (docs.filter(F.col("doc_id") % 13 != 4)
+           .select("doc_id", changed.alias("text"))
+           .unionByName(
+               docs.filter(F.col("doc_id") < 20)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       "text")))
+    return corpus_delta(docs.select("doc_id", "text"), new)
+
+
+CORPUS_DELTA_SQL = """
+with old as (
+  select doc_id, md5(text) as h from documents
+), new as (
+  select doc_id,
+         md5(case when doc_id % 7 = 1 then text || ' recrawl-delta'
+                  else text end) as h
+  from documents where doc_id % 13 <> 4
+  union all
+  select doc_id + 1000000 as doc_id, md5(text) as h
+  from documents where doc_id < 20
+)
+select coalesce(o.doc_id, n.doc_id) as doc_id,
+       case when o.doc_id is null then 'added'
+            when n.doc_id is null then 'removed'
+            when o.h = n.h or (o.h is null and n.h is null)
+              then 'unchanged'
+            else 'changed' end as status
+from old o full outer join new n on o.doc_id = n.doc_id
+"""
+
+
 def token_length_profile_q(spark, sf):
     """Per-source token-length profile with exact inverse-CDF
     quantiles (textstats.token_length_profile — corpus collapses to a
@@ -3712,6 +3784,8 @@ QUERIES = {
     "interleave_domains": (interleave_domains_q, INTERLEAVE_DOMAINS_SQL),
     "token_length_profile": (token_length_profile_q,
                              TOKEN_LENGTH_PROFILE_SQL),
+    "corpus_delta": (corpus_delta_q, CORPUS_DELTA_SQL),
+    "mix_report": (mix_report_q, MIX_REPORT_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

@@ -900,3 +900,51 @@ def test_token_length_profile_exact_quantiles(spark):
     y = got["y"]
     assert (y.n_docs, y.total_tokens) == (4, 28)
     assert (y.p25, y.p50, y.p75, y.p90, y.p99) == (7, 7, 7, 7, 7)
+
+
+def test_corpus_delta_all_statuses(spark):
+    from batukh_spark.operators.delta import corpus_delta
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone"), (4, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, None), (5, "fresh")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status
+           for r in corpus_delta(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "added"}   # NULL==NULL unchanged
+
+
+def test_corpus_delta_plan_hashes_before_join(spark):
+    """Text must not survive into the join: both sides project to
+    (id, md5) at the scan."""
+    from batukh_spark.operators.delta import corpus_delta
+    old = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(50)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, "y" * 100) for i in range(50)], "doc_id long, text string")
+    plan = (corpus_delta(old, new)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    import re
+    # every exchange/join input carries hashes, not raw text
+    assert "md5" in plan
+    assert not re.search(r"'?text'?#\d+\s*(ASC|DESC)?\s*\]?\s*$", plan)
+
+
+def test_mix_report_rollup_levels_and_shares(spark):
+    from batukh_spark.operators.textstats import mix_report
+    docs = spark.createDataFrame(
+        [(1, "web", "en", "a b c d"),        # 4 tokens
+         (2, "web", "de", "e f"),            # 2
+         (3, "code", "en", "g h i j")],      # 4
+        "doc_id long, source string, lang string, text string")
+    rows = mix_report(docs).collect()
+    got = {(r.source, r.lang): (r.n_docs, r.n_tokens, r.token_ppm)
+           for r in rows}
+    assert got[("web", "en")] == (1, 4, 400000)
+    assert got[("web", "de")] == (1, 2, 200000)
+    assert got[("web", None)] == (2, 6, 600000)      # subtotal
+    assert got[("code", None)] == (1, 4, 400000)
+    assert got[(None, None)] == (3, 10, 1000000)     # grand total
+    assert len(rows) == 6
