@@ -801,3 +801,36 @@ def mix_report(rows, dims=("source", "lang"), text_col: str = "text"):
                     F.col("n_tokens").cast("long").alias("n_tokens"),
                     F.expr("(n_tokens * 1000000) div __tot")
                     .cast("long").alias("token_ppm")))
+
+
+def key_skew_report(rows, key_cols, top: int = 20):
+    """Hot-key diagnosis for a planned join/groupBy key: the top-k
+    heaviest key values with absolute counts and integer-ppm share of
+    all rows — the audit that decides between a plain shuffle, a
+    broadcast, and salting BEFORE a 100 TB join melts one reducer.
+    The count-vs-p99 shape of its output is exactly what the
+    pipeline's salted-unit planning consumes (pipeline.py shuffle
+    mode salts conversation hashes for the same reason).
+
+    Returns (*key_cols, n_rows, row_ppm), top-k by (n_rows desc,
+    *key_cols asc) — total order, so the report is deterministic.
+
+    Scale: one groupBy with map-side partials (the shuffle carries
+    (key, long) pairs), then a global TakeOrderedAndProject over the
+    aggregated keys; the grand total rides along as a broadcast 1-row
+    join, so the corpus is scanned once."""
+    if not (isinstance(top, int) and top >= 1):
+        raise ValueError(f"top must be an int >= 1, got {top!r}")
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    counts = (rows.groupBy(*[F.col(k) for k in key_cols])
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    total = counts.select(F.sum("n_rows").alias("__tot"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select(*[F.col(k) for k in key_cols],
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.expr("(n_rows * 1000000) div __tot")
+                    .cast("long").alias("row_ppm"))
+            .orderBy(F.desc("n_rows"),
+                     *[F.asc(k) for k in key_cols])
+            .limit(top))

@@ -2875,6 +2875,26 @@ from rn group by conv_id, run
 """)
 
 
+def key_skew_report_q(spark, sf):
+    """Hot-key audit over events.user_id — the top-10 heaviest join
+    keys with integer-ppm share (textstats.key_skew_report — one
+    partial-agg groupBy + TakeOrderedAndProject, broadcast total)."""
+    from batukh_spark.operators.textstats import key_skew_report
+    ev = t(spark, sf, "events")
+    return key_skew_report(ev, "user_id", top=10)
+
+
+KEY_SKEW_REPORT_SQL = """
+with c as (
+  select user_id, count(*)::bigint as n_rows from events group by user_id
+), t as (select sum(n_rows) as tot from c)
+select user_id, n_rows,
+       ((n_rows * 1000000) // tot)::bigint as row_ppm
+from c, t
+order by n_rows desc, user_id asc limit 10
+"""
+
+
 def mix_report_q(spark, sf):
     """Corpus composition ROLLUP over (source, lang): per-group,
     per-source-subtotal, and grand-total doc/token counts with
@@ -3786,6 +3806,7 @@ QUERIES = {
                              TOKEN_LENGTH_PROFILE_SQL),
     "corpus_delta": (corpus_delta_q, CORPUS_DELTA_SQL),
     "mix_report": (mix_report_q, MIX_REPORT_SQL),
+    "key_skew_report": (key_skew_report_q, KEY_SKEW_REPORT_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

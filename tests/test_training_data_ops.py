@@ -948,3 +948,19 @@ def test_mix_report_rollup_levels_and_shares(spark):
     assert got[("code", None)] == (1, 4, 400000)
     assert got[(None, None)] == (3, 10, 1000000)     # grand total
     assert len(rows) == 6
+
+
+def test_key_skew_report_top_and_share(spark):
+    from batukh_spark.operators.textstats import key_skew_report
+    rows = spark.createDataFrame(
+        [(i, "hot") for i in range(60)]
+        + [(100 + i, "warm") for i in range(30)]
+        + [(200 + i, f"cold{i}") for i in range(10)],
+        "row_id long, k string")
+    got = [(r.k, r.n_rows, r.row_ppm)
+           for r in key_skew_report(rows, "k", top=2).collect()]
+    assert got == [("hot", 60, 600000), ("warm", 30, 300000)]
+    plan = (key_skew_report(rows, "k", top=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan        # map-side combine
