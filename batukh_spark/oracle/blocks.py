@@ -17,7 +17,7 @@ from batukh_spark.oracle import constants as C
 from batukh_spark.oracle.canonical import canonicalize, word_count
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     kind: str = C.KIND_CONTENT
     start: int = 0            # char offset of first raw segment

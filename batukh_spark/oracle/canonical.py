@@ -17,7 +17,8 @@ def canonicalize(s: str) -> str:
     """NFC-normalize, fold NBSP into space, collapse whitespace runs, strip."""
     if not s:
         return ""
-    s = unicodedata.normalize("NFC", s)
+    if not s.isascii():  # NFC is the identity on ASCII — skip the call
+        s = unicodedata.normalize("NFC", s)
     return _WS_RE.sub(" ", s).strip()
 
 

@@ -60,6 +60,34 @@ _TOKEN_RE = re.compile(r"""
 _CLASS_RE = re.compile(
     r"""\bclass\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
 
+# Fast path for the overwhelmingly common refs; values are derived from
+# html.unescape itself so this table can never disagree with the fallback
+# (including the HTML5 legacy semicolon-less rows).
+_COMMON_ENTITIES = {
+    e: _htmlmod.unescape(e)
+    for e in ("&amp;", "&lt;", "&gt;", "&quot;", "&apos;", "&nbsp;",
+              "&amp", "&lt", "&gt", "&quot", "&nbsp")
+}
+
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</\s*{t}[^>]*>", re.IGNORECASE)
+    for t in ("script", "style")
+}
+
+# tag -> (is_skip, is_boiler, is_code, is_block, rawtext); the frozenset
+# memberships are invariant per tag, so look them up once per distinct tag
+_TAG_FLAGS: dict[str, tuple] = {}
+
+
+def _tag_flags(tag: str) -> tuple:
+    f = _TAG_FLAGS.get(tag)
+    if f is None:
+        f = (tag in C.SKIP_TAGS, tag in C.BOILERPLATE_TAGS,
+             tag in C.CODE_TAGS, tag in C.BLOCK_TAGS,
+             tag in C.SKIP_TAGS and tag in ("script", "style"))
+        _TAG_FLAGS[tag] = f
+    return f
+
 
 class _Ctx:
     """Tokenizer context shared with no inheritance overhead."""
@@ -70,7 +98,10 @@ class _Ctx:
 
     def __init__(self):
         self.blocks: list[Block] = []
-        # stack entries: (tag, skip, boiler, code, tool, anchor)
+        # stack entries: (tag, skip, boiler, code, tool, anchor,
+        # block_under) — block_under is the nearest block tag at or below
+        # this frame, so _close_tag recomputes block_tag in O(1) instead
+        # of rescanning the stack
         self.stack: list[tuple] = []
         self.n_skip = 0
         self.n_boiler = 0
@@ -88,13 +119,20 @@ class _Ctx:
 
 
 def _flush(ctx: _Ctx) -> None:
-    if ctx.b_start >= 0:
-        anchor_len = len(canonicalize("".join(ctx.anchor_parts)))
-        b = finalize_block(ctx.parts, anchor_len, ctx.b_start, ctx.b_end,
-                           ctx.b_kind or C.KIND_CONTENT, ctx.b_path,
-                           ctx.b_structural)
-        if b is not None:
-            ctx.blocks.append(b)
+    if ctx.b_start < 0:
+        # no block open: only <br> newlines can have accumulated (they
+        # never open a block); anchor_parts is filled solely alongside
+        # b_start, so it is empty here and b_end/b_kind hold reset values
+        if ctx.parts:
+            ctx.parts = []
+        return
+    anchor_len = (len(canonicalize("".join(ctx.anchor_parts)))
+                  if ctx.anchor_parts else 0)
+    b = finalize_block(ctx.parts, anchor_len, ctx.b_start, ctx.b_end,
+                       ctx.b_kind or C.KIND_CONTENT, ctx.b_path,
+                       ctx.b_structural)
+    if b is not None:
+        ctx.blocks.append(b)
     ctx.parts = []
     ctx.anchor_parts = []
     ctx.b_start = -1
@@ -139,12 +177,22 @@ def _close_tag(ctx: _Ctx, tag: str) -> None:
         return
     if tag in C.BLOCK_TAGS:
         _flush(ctx)
-    for i in range(len(ctx.stack) - 1, -1, -1):
-        if ctx.stack[i][0] == tag:
-            _pop_from(ctx, i)
-            break
-    ctx.block_tag = next(
-        (f[0] for f in reversed(ctx.stack) if f[0] in C.BLOCK_TAGS), None)
+    stack = ctx.stack
+    if stack and stack[-1][0] == tag:
+        # well-formed fast path: close matches the innermost open tag
+        f = stack.pop()
+        ctx.n_skip -= f[1]
+        ctx.n_boiler -= f[2]
+        ctx.n_code -= f[3]
+        ctx.n_tool -= f[4]
+        ctx.n_anchor -= f[5]
+    else:
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i][0] == tag:
+                _pop_from(ctx, i)
+                break
+    # nearest block tag in the remaining stack, O(1) via frame[6]
+    ctx.block_tag = stack[-1][6] if stack else None
 
 
 def tokenize_html_fast(raw: str) -> list[Block]:
@@ -156,8 +204,11 @@ def tokenize_html_fast(raw: str) -> list[Block]:
     while pos < n:
         if rawtext_until is not None:
             # raw-text mode: content is skipped wholesale; find close tag
-            m = re.compile(rf"</\s*{rawtext_until}[^>]*>",
-                           re.IGNORECASE).search(raw, pos)
+            pat = _RAWTEXT_CLOSE.get(rawtext_until)
+            if pat is None:
+                pat = re.compile(rf"</\s*{rawtext_until}[^>]*>",
+                                 re.IGNORECASE)
+            m = pat.search(raw, pos)
             if m is None:
                 break  # unterminated script/style: rest is skipped
             _close_tag(ctx, rawtext_until)
@@ -184,20 +235,23 @@ def tokenize_html_fast(raw: str) -> list[Block]:
                                or cm.group(3) or "").lower()
                         is_tool = C.TOOL_CLASS_MARKER in cls
                 self_closing = attrs.rstrip().endswith("/")
-                if tag in C.BLOCK_TAGS:
+                skip, boiler, code, is_block, rawtext = _tag_flags(tag)
+                if is_block:
                     _flush(ctx)
                     ctx.block_tag = tag
                 if not self_closing:
-                    frame = (tag, tag in C.SKIP_TAGS,
-                             tag in C.BOILERPLATE_TAGS, tag in C.CODE_TAGS,
-                             is_tool, tag == "a")
-                    ctx.stack.append(frame)
-                    ctx.n_skip += frame[1]
-                    ctx.n_boiler += frame[2]
-                    ctx.n_code += frame[3]
-                    ctx.n_tool += frame[4]
-                    ctx.n_anchor += frame[5]
-                    if tag in C.SKIP_TAGS and tag in ("script", "style"):
+                    stack = ctx.stack
+                    block_under = (tag if is_block
+                                   else (stack[-1][6] if stack else None))
+                    is_anchor = tag == "a"
+                    stack.append((tag, skip, boiler, code, is_tool,
+                                  is_anchor, block_under))
+                    ctx.n_skip += skip
+                    ctx.n_boiler += boiler
+                    ctx.n_code += code
+                    ctx.n_tool += is_tool
+                    ctx.n_anchor += is_anchor
+                    if rawtext:
                         rawtext_until = tag
             elif tag == "hr" and tag in C.BLOCK_TAGS:
                 _flush(ctx)
@@ -206,7 +260,10 @@ def tokenize_html_fast(raw: str) -> list[Block]:
         elif kind == "entityref" or kind == "entityref_ns":
             # unescape implements HTML5 named refs including the legacy
             # semicolon-less table; unknown names come back verbatim
-            decoded = _htmlmod.unescape(m.group())
+            g = m.group()
+            decoded = _COMMON_ENTITIES.get(g)
+            if decoded is None:
+                decoded = _htmlmod.unescape(g)
             _append_text(ctx, decoded, pos, m.end() - pos)
         elif kind == "charref" or kind == "charref_ns":
             body = (m.group()[2:-1] if kind == "charref"

@@ -48,30 +48,44 @@ def _median(vals: list[float]) -> float:
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
+# Internal token representation: (x0, y0, x1, y1, xc, yc, text) tuples —
+# the centers are computed ONCE per token (same float expressions as the
+# original per-call lambdas: 0.5 * (lo + hi)), so the XY-cut recursion and
+# line grouping do tuple indexing instead of dict lookups + re-arithmetic.
+_TX0, _TY0, _TX1, _TY1, _TXC, _TYC, _TT = range(7)
+
+
 def _gaps(intervals: list[tuple[float, float]], min_gap: float):
     """Whitespace gaps >= min_gap in the union of intervals.
 
     Returns (cut_midpoints, widest_gap).  XY-cut recurses on ALL
-    qualifying gaps along the chosen axis at this level.
+    qualifying gaps along the chosen axis at this level.  The merge is
+    streamed over the sorted intervals (no merged-list materialization);
+    cut midpoints/widths are the same floats as the two-pass original.
     """
     ivs = sorted(intervals)
-    merged: list[list[float]] = []
-    for a, b in ivs:
-        if merged and a <= merged[-1][1]:
-            merged[-1][1] = max(merged[-1][1], b)
-        else:
-            merged.append([a, b])
-    cuts = []
+    cuts: list[float] = []
     widest = 0.0
-    for i in range(len(merged) - 1):
-        gap = merged[i + 1][0] - merged[i][1]
-        if gap >= min_gap:
-            cuts.append(0.5 * (merged[i][1] + merged[i + 1][0]))
-            widest = max(widest, gap)
+    it = iter(ivs)
+    try:
+        _, cur_hi = next(it)
+    except StopIteration:
+        return cuts, widest
+    for a, b in it:
+        if a <= cur_hi:
+            if b > cur_hi:
+                cur_hi = b
+        else:
+            gap = a - cur_hi
+            if gap >= min_gap:
+                cuts.append(0.5 * (cur_hi + a))
+                if gap > widest:
+                    widest = gap
+            cur_hi = b
     return cuts, widest
 
 
-def _xycut(tokens: list[dict], depth: int = 0) -> list[list[dict]]:
+def _xycut(tokens: list[tuple], depth: int = 0) -> list[list[tuple]]:
     """Recursive XY-cut → ordered groups of tokens (pre-line-grouping).
 
     Vertical (column) cuts first: left column fully before right column.
@@ -80,46 +94,46 @@ def _xycut(tokens: list[dict], depth: int = 0) -> list[list[dict]]:
     """
     if not tokens or depth > 16:
         return [tokens] if tokens else []
-    xcuts, xwide = _gaps([(t["x0"], t["x1"]) for t in tokens], C.XY_COL_GAP)
-    ycuts, ywide = _gaps([(t["y0"], t["y1"]) for t in tokens], C.XY_ROW_GAP)
+    xcuts, xwide = _gaps([(t[_TX0], t[_TX1]) for t in tokens], C.XY_COL_GAP)
+    ycuts, ywide = _gaps([(t[_TY0], t[_TY1]) for t in tokens], C.XY_ROW_GAP)
     if not xcuts and not ycuts:
         return [tokens]
     # cut along the axis with the widest whitespace valley: a page-wide
     # header/body/footer band gap beats a column gutter, so bands split
     # before columns and reading order is band-major.
     if ycuts and (not xcuts or ywide >= xwide):
-        cuts, key = ycuts, (lambda t: 0.5 * (t["y0"] + t["y1"]))
+        cuts, ki = ycuts, _TYC
     else:
-        cuts, key = xcuts, (lambda t: 0.5 * (t["x0"] + t["x1"]))
+        cuts, ki = xcuts, _TXC
     bounds = [float("-inf")] + cuts + [float("inf")]
-    out: list[list[dict]] = []
+    out: list[list[tuple]] = []
     for lo, hi in zip(bounds, bounds[1:]):
-        part = [t for t in tokens if lo <= key(t) < hi]
+        part = [t for t in tokens if lo <= t[ki] < hi]
         if part:
             out.extend(_xycut(part, depth + 1))
     return out
 
 
-def _group_lines(group: list[dict]) -> list[list[dict]]:
+def _group_lines(group: list[tuple]) -> list[list[tuple]]:
     """Cluster a leaf token group into lines by y-center proximity."""
     if not group:
         return []
-    heights = [t["y1"] - t["y0"] for t in group]
+    heights = [t[_TY1] - t[_TY0] for t in group]
     tol = max(1e-9, _median(heights) * C.LINE_TOL_FRACTION)
-    toks = sorted(group, key=lambda t: (0.5 * (t["y0"] + t["y1"]), t["x0"]))
-    lines: list[list[dict]] = []
-    cur: list[dict] = []
+    toks = sorted(group, key=lambda t: (t[_TYC], t[_TX0]))
+    lines: list[list[tuple]] = []
+    cur: list[tuple] = []
     cur_yc = None
     for t in toks:
-        yc = 0.5 * (t["y0"] + t["y1"])
+        yc = t[_TYC]
         if cur and abs(yc - cur_yc) > tol:
-            lines.append(sorted(cur, key=lambda u: u["x0"]))
+            lines.append(sorted(cur, key=lambda u: u[_TX0]))
             cur = []
         if not cur:
             cur_yc = yc
         cur.append(t)
     if cur:
-        lines.append(sorted(cur, key=lambda u: u["x0"]))
+        lines.append(sorted(cur, key=lambda u: u[_TX0]))
     return lines
 
 
@@ -131,32 +145,36 @@ def parse_pdf_layout(raw: str) -> list[Line] | None:
         return None
     if not isinstance(doc, dict) or doc.get("kind") != "pdf_layout":
         return None
-    tokens = [t for t in doc.get("tokens", [])
-              if isinstance(t, dict) and "t" in t
-              and all(k in t for k in ("x0", "y0", "x1", "y1"))]
-    by_page: dict[int, list[dict]] = {}
-    for t in tokens:
-        by_page.setdefault(int(t.get("page", 0)), []).append(t)
+    by_page: dict[int, list[tuple]] = {}
+    for t in doc.get("tokens", []):
+        if (isinstance(t, dict) and "t" in t and "x0" in t and "y0" in t
+                and "x1" in t and "y1" in t):
+            x0 = t["x0"]
+            y0 = t["y0"]
+            x1 = t["x1"]
+            y1 = t["y1"]
+            by_page.setdefault(int(t.get("page", 0)), []).append(
+                (x0, y0, x1, y1, 0.5 * (x0 + x1), 0.5 * (y0 + y1), t["t"]))
 
     all_lines: list[Line] = []
     per_page_bbox: dict[int, tuple[float, float]] = {}
     for page in sorted(by_page):
         ptoks = by_page[page]
-        y_min = min(t["y0"] for t in ptoks)
-        y_max = max(t["y1"] for t in ptoks)
+        y_min = min(t[_TY0] for t in ptoks)
+        y_max = max(t[_TY1] for t in ptoks)
         per_page_bbox[page] = (y_min, y_max)
         col = 0
         for group in _xycut(ptoks):
             for toks in _group_lines(group):
-                text = canonicalize(" ".join(t["t"] for t in toks))
+                text = canonicalize(" ".join(t[_TT] for t in toks))
                 if not text:
                     continue
                 all_lines.append(Line(
                     page=page, line=-1, col=col,
-                    x0=min(t["x0"] for t in toks),
-                    y0=min(t["y0"] for t in toks),
-                    x1=max(t["x1"] for t in toks),
-                    y1=max(t["y1"] for t in toks),
+                    x0=min(t[_TX0] for t in toks),
+                    y0=min(t[_TY0] for t in toks),
+                    x1=max(t[_TX1] for t in toks),
+                    y1=max(t[_TY1] for t in toks),
                     text=text))
             col += 1
 
