@@ -513,3 +513,68 @@ def merge_consecutive_turns(turns: DataFrame,
         F.array_join(F.transform("__ps", lambda s: s["t"]), sep)
         .alias("text"),
         F.col("n_merged").cast("long").alias("n_merged"))
+
+
+def transition_latency_profile(events: DataFrame, qs=(50, 90, 99),
+                               key_col: str = "user_id",
+                               type_col: str = "event_type",
+                               ts_col: str = "ts",
+                               tiebreak_col: str = "event_id") -> DataFrame:
+    """Per-transition latency profile over an event/turn stream: for
+    every (previous type -> type) adjacency within a key's
+    time-ordered sequence, the count, total, and EXACT integer-second
+    gap quantiles.  This is the agent-ops triage view — which tool
+    calls are slow, how long users take to reply, where a pipeline
+    stalls — computed the same histogram-first way as
+    token_length_profile (textstats.py) so it is bit-identical across
+    engines and partitionings (no percentile_approx sketch).
+
+    Gaps are floor(microsecond delta / 1e6) — integer seconds — so the
+    histogram collapse is meaningful and the quantile windows run on a
+    bounded table.  Ordering within a key is (epoch_us, tiebreak_col):
+    exact duplicate timestamps are broken deterministically.  The
+    first event of each key has no predecessor and contributes no gap.
+
+    Returns one row per observed transition:
+      (prev_type, next_type, n_gaps, total_gap_s, p50, p90, ...)
+    with inverse-CDF-lower quantiles (smallest gap whose cumulative
+    count reaches ceil(q/100 * n); integer predicate 100*cum >= n*q).
+
+    Scale: ONE shuffle by key_col for the lag window (the conversation
+    shuffle every sequence operator shares), then the stream collapses
+    to a (prev, next, gap_s, count) histogram via a map-side-partial
+    groupBy; quantile windows run on the histogram, bounded by
+    |type pairs| x |distinct integer gaps| — small-table class at any
+    corpus size."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    seq = events.select(F.col(key_col).alias("__k"),
+                        F.col(type_col).alias("__t"),
+                        us.alias("__us"),
+                        F.col(tiebreak_col).alias("__tb"))
+    w = Window.partitionBy("__k").orderBy("__us", "__tb")
+    lagd = seq.select(
+        F.lag("__t").over(w).alias("prev_type"),
+        F.col("__t").alias("next_type"),
+        ((F.col("__us") - F.lag("__us").over(w)))
+        .alias("__gap_us"))
+    gaps = (lagd.where(F.col("prev_type").isNotNull())
+            .select("prev_type", "next_type",
+                    F.expr("__gap_us div 1000000").alias("__gap")))
+    hist = gaps.groupBy("prev_type", "next_type", "__gap").agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    wc = (Window.partitionBy("prev_type", "next_type").orderBy("__gap")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("prev_type", "next_type")
+    cum = (hist
+           .withColumn("__cum", F.sum("__cnt").over(wc))
+           .withColumn("__n", F.sum("__cnt").over(wt))
+           .withColumn("__tot", F.sum(F.col("__gap") * F.col("__cnt"))
+                       .over(wt)))
+    aggs = [F.max("__n").cast("long").alias("n_gaps"),
+            F.max("__tot").cast("long").alias("total_gap_s")]
+    for q in qs:
+        aggs.append(
+            F.min(F.when(F.col("__cum") * 100 >= F.col("__n") * q,
+                         F.col("__gap")))
+            .cast("long").alias(f"p{q}"))
+    return cum.groupBy("prev_type", "next_type").agg(*aggs)

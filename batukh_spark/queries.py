@@ -2875,6 +2875,48 @@ from rn group by conv_id, run
 """)
 
 
+def transition_latency_q(spark, sf):
+    """Per-(event_type -> event_type) latency profile over the events
+    stream: n, total seconds, and exact inverse-CDF p50/p90/p99 of the
+    integer-second gap (conversations.transition_latency_profile —
+    one key shuffle for the lag window, then histogram-first quantiles
+    like token_length_profile)."""
+    from batukh_spark.operators.conversations import (
+        transition_latency_profile)
+    ev = t(spark, sf, "events")
+    return transition_latency_profile(ev)
+
+
+TRANSITION_LATENCY_SQL = """
+with seq as (
+  select user_id, event_type, epoch_us(ts) as us, event_id from events
+), lagd as (
+  select lag(event_type) over w as prev_type,
+         event_type as next_type,
+         (us - lag(us) over w) // 1000000 as gap_s
+  from seq window w as (partition by user_id order by us, event_id)
+), hist as (
+  select prev_type, next_type, gap_s, count(*)::bigint as cnt
+  from lagd where prev_type is not null
+  group by 1, 2, 3
+), cum as (
+  select prev_type, next_type, gap_s, cnt,
+         sum(cnt) over (partition by prev_type, next_type
+                        order by gap_s)::bigint as cum,
+         sum(cnt) over (partition by prev_type, next_type)::bigint as n,
+         sum(gap_s * cnt) over (partition by prev_type,
+                                next_type)::bigint as tot
+  from hist
+)
+select prev_type, next_type,
+       max(n)::bigint as n_gaps, max(tot)::bigint as total_gap_s,
+       min(case when cum * 100 >= n * 50 then gap_s end)::bigint as p50,
+       min(case when cum * 100 >= n * 90 then gap_s end)::bigint as p90,
+       min(case when cum * 100 >= n * 99 then gap_s end)::bigint as p99
+from cum group by 1, 2
+"""
+
+
 def key_skew_report_q(spark, sf):
     """Hot-key audit over events.user_id — the top-10 heaviest join
     keys with integer-ppm share (textstats.key_skew_report — one
@@ -3807,6 +3849,7 @@ QUERIES = {
     "corpus_delta": (corpus_delta_q, CORPUS_DELTA_SQL),
     "mix_report": (mix_report_q, MIX_REPORT_SQL),
     "key_skew_report": (key_skew_report_q, KEY_SKEW_REPORT_SQL),
+    "transition_latency": (transition_latency_q, TRANSITION_LATENCY_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

@@ -964,3 +964,30 @@ def test_key_skew_report_top_and_share(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan        # map-side combine
+
+
+def test_transition_latency_profile_exact_quantiles(spark):
+    from datetime import datetime
+    from batukh_spark.operators.conversations import (
+        transition_latency_profile)
+    base = datetime(2026, 1, 1)
+
+    def ev(eid, uid, typ, sec):
+        return (eid, uid, typ, datetime(2026, 1, 1, 0, sec // 60, sec % 60))
+    rows = [
+        # user 1: a@0 -> b@10 -> a@30 -> b@31  (a->b gaps 10, 1; b->a 20)
+        ev(1, 1, "a", 0), ev(2, 1, "b", 10), ev(3, 1, "a", 30),
+        ev(4, 1, "b", 31),
+        # user 2: a@0 -> b@4  (a->b gap 4)
+        ev(5, 2, "a", 0), ev(6, 2, "b", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    got = {(r.prev_type, r.next_type):
+           (r.n_gaps, r.total_gap_s, r.p50, r.p90, r.p99)
+           for r in transition_latency_profile(df).collect()}
+    # a->b gaps sorted: [1, 4, 10]; p50 = 2nd (cum2*100>=3*50) = 4,
+    # p90 = p99 = 10
+    assert got[("a", "b")] == (3, 15, 4, 10, 10)
+    assert got[("b", "a")] == (1, 20, 20, 20, 20)
+    assert set(got) == {("a", "b"), ("b", "a")}
