@@ -834,3 +834,58 @@ def key_skew_report(rows, key_cols, top: int = 20):
             .orderBy(F.desc("n_rows"),
                      *[F.asc(k) for k in key_cols])
             .limit(top))
+
+
+def c4_line_clean(docs: DataFrame, min_words: int = 3,
+                  drop_markers: tuple[str, ...] = ("javascript",
+                                                   "lorem ipsum",
+                                                   "cookie"),
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): a web
+    document's boilerplate lives on LINES (menus, cookie banners,
+    share buttons), so before any doc-level verdict each line is kept
+    only if it
+      - has >= `min_words` whitespace-separated words,
+      - ends in terminal punctuation (. ! ? ") after right-trim,
+      - contains none of `drop_markers` (lowercased SUBSTRING match,
+        not regex — dialect-free across Spark and any SQL oracle, and
+        it stays in whole-stage codegen), and
+      - contains no '{' (the C4 code/markup tell).
+
+    Returns (id_col, n_lines, n_kept, clean_text) where clean_text is
+    the kept lines re-joined with newlines ('' when nothing survives).
+    Downstream doc-level gates (quality_score, lang_id) then run on
+    clean_text instead of raw text.
+
+    Scale: 100% scan-local (split -> staged array -> filter -> join);
+    no shuffle, no UDF.  The line array and the kept array are staged
+    as their own projections so each is computed exactly once (the
+    interpreted-HOF free-subexpression tax documented in PLANS.md).
+    Lambda bodies reference only the bound element, per the audit
+    rule."""
+    if not (isinstance(min_words, int) and min_words >= 1):
+        raise ValueError(f"min_words must be an int >= 1, "
+                         f"got {min_words!r}")
+
+    def _keep(x):
+        nw = F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+        tail = F.substring(F.rtrim(x), -1, 1)
+        cond = ((nw >= F.lit(min_words))
+                & tail.isin(".", "!", "?", '"')
+                & ~F.contains(x, F.lit("{")))
+        low = F.lower(x)
+        for m in drop_markers:
+            cond = cond & (F.instr(low, m.lower()) == 0)
+        return cond
+
+    lines = docs.select(F.col(id_col),
+                        F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                "\n").alias("__lines"))
+    kept = lines.select(F.col(id_col), F.col("__lines"),
+                        F.filter("__lines", _keep).alias("__kept"))
+    return kept.select(
+        F.col(id_col),
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.size("__kept").cast("long").alias("n_kept"),
+        F.array_join("__kept", "\n").alias("clean_text"))

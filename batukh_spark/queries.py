@@ -2917,6 +2917,37 @@ from cum group by 1, 2
 """
 
 
+def c4_line_clean_q(spark, sf):
+    """C4-style line-level cleaning over documents: per-line keep
+    rules (word count, terminal punctuation, marker substrings, '{')
+    with kept lines rejoined (textstats.c4_line_clean — 100%
+    scan-local, staged arrays, no shuffle)."""
+    from batukh_spark.operators.textstats import c4_line_clean
+    docs = t_spread(spark, sf, "documents")
+    return c4_line_clean(docs)
+
+
+C4_LINE_CLEAN_SQL = """
+with l as (
+  select doc_id, string_split(coalesce(text, ''), chr(10)) as lines
+  from documents
+), k as (
+  select doc_id, lines,
+         list_filter(lines, x ->
+           len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+           and right(rtrim(x), 1) in ('.', '!', '?', '"')
+           and instr(x, '{') = 0
+           and instr(lower(x), 'javascript') = 0
+           and instr(lower(x), 'lorem ipsum') = 0
+           and instr(lower(x), 'cookie') = 0) as kept
+  from l
+)
+select doc_id, len(lines)::bigint as n_lines, len(kept)::bigint as n_kept,
+       coalesce(array_to_string(kept, chr(10)), '') as clean_text
+from k
+"""
+
+
 def key_skew_report_q(spark, sf):
     """Hot-key audit over events.user_id — the top-10 heaviest join
     keys with integer-ppm share (textstats.key_skew_report — one
@@ -3850,6 +3881,7 @@ QUERIES = {
     "mix_report": (mix_report_q, MIX_REPORT_SQL),
     "key_skew_report": (key_skew_report_q, KEY_SKEW_REPORT_SQL),
     "transition_latency": (transition_latency_q, TRANSITION_LATENCY_SQL),
+    "c4_line_clean": (c4_line_clean_q, C4_LINE_CLEAN_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

@@ -991,3 +991,30 @@ def test_transition_latency_profile_exact_quantiles(spark):
     assert got[("a", "b")] == (3, 15, 4, 10, 10)
     assert got[("b", "a")] == (1, 20, 20, 20, 20)
     assert set(got) == {("a", "b"), ("b", "a")}
+
+
+def test_c4_line_clean_rules(spark):
+    from batukh_spark.operators.textstats import c4_line_clean
+    doc = "\n".join([
+        "This is a proper sentence.",          # kept
+        "Accept all cookies to continue.",     # dropped: marker
+        "short.",                              # dropped: < 3 words
+        "No terminal punctuation here",        # dropped: tail
+        "Ends with a question?",               # kept (4 words)
+        'He said "stop right there."',         # kept
+        "if (x) { return; }",                  # dropped: brace
+        "Trailing spaces still count.   ",     # kept: rtrim before tail
+        "",                                    # dropped: empty
+    ])
+    df = spark.createDataFrame([(1, doc), (2, None), (3, "")],
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.clean_text)
+           for r in c4_line_clean(df).collect()}
+    assert got[1] == (9, 4, "\n".join([
+        "This is a proper sentence.",
+        "Ends with a question?",
+        'He said "stop right there."',
+        "Trailing spaces still count.   "]))
+    # NULL text -> one empty line, nothing kept, empty clean_text
+    assert got[2] == (1, 0, "")
+    assert got[3] == (1, 0, "")
