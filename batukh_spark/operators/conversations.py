@@ -578,3 +578,59 @@ def transition_latency_profile(events: DataFrame, qs=(50, 90, 99),
                          F.col("__gap")))
             .cast("long").alias(f"p{q}"))
     return cum.groupBy("prev_type", "next_type").agg(*aggs)
+
+
+def contract_audit(turns: DataFrame,
+                   roles: tuple[str, ...] = ("user", "assistant", "tool",
+                                             "system"),
+                   id_col: str = "conv_id",
+                   order_col: str = "turn_idx",
+                   role_col: str = "role") -> DataFrame:
+    """Pre-flight data-contract audit for a transcript table — the
+    validation every 100 TB extraction run does BEFORE committing
+    cluster time, because the pipeline's correctness contract ("per-
+    turn text equality under stable (conv_id, turn_idx) ordering")
+    silently breaks if the input violates its key invariants:
+    duplicate turn indices make the ordering unstable, index gaps make
+    "turn k" ambiguous across re-crawls, and out-of-domain roles break
+    role-gated extraction (tool-block detection keys on role='tool').
+
+    Per conversation:
+      (id_col, n_turns, n_dup_idx, n_null_idx, min_idx, n_gaps,
+       n_bad_role, ok)
+    where n_dup_idx = rows beyond the first per index, n_gaps =
+    missing indices inside [min_idx, max_idx], n_bad_role counts roles
+    outside `roles` (NULL counts as bad), and ok = every check clean
+    AND min_idx = 0.
+
+    Scale: ONE groupBy(id_col) of codegen conditional aggregates — the
+    same single conversation shuffle every per-conv rollup pays; the
+    shuffle rows carry a handful of longs, never text."""
+    role_ok = F.col(role_col).isin(*roles)
+    idx = F.col(order_col)
+    agg = turns.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.count_distinct(idx).alias("__nd"),
+        F.sum(F.when(idx.isNull(), 1).otherwise(0))
+        .cast("long").alias("n_null_idx"),
+        F.min(idx).cast("long").alias("min_idx"),
+        F.max(idx).cast("long").alias("__max"),
+        F.sum(F.when(role_ok, 0).otherwise(1))
+        .cast("long").alias("n_bad_role"))
+    n_dup = (F.col("n_turns") - F.col("n_null_idx")
+             - F.col("__nd")).cast("long")
+    n_gaps = F.when(
+        F.col("__nd") > 0,
+        F.col("__max") - F.col("min_idx") + 1 - F.col("__nd")) \
+        .otherwise(F.lit(0)).cast("long")
+    out = (agg.withColumn("n_dup_idx", n_dup)
+           .withColumn("n_gaps", n_gaps))
+    # coalesce: an all-NULL-index conversation has NULL min_idx, which
+    # would three-valued-logic the verdict to NULL instead of False
+    ok = F.coalesce(
+        (F.col("n_dup_idx") == 0) & (F.col("n_null_idx") == 0)
+        & (F.col("n_gaps") == 0) & (F.col("n_bad_role") == 0)
+        & (F.col("min_idx") == 0), F.lit(False))
+    return out.select(F.col(id_col), "n_turns", "n_dup_idx",
+                      "n_null_idx", "min_idx", "n_gaps", "n_bad_role",
+                      ok.alias("ok"))

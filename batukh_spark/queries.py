@@ -2917,6 +2917,71 @@ from cum group by 1, 2
 """
 
 
+def contract_audit_q(spark, sf):
+    """Pre-flight transcript contract audit over templated 3-turn
+    conversations with PLANTED violations (duplicate index on
+    doc_id%13, index gap via a stray turn 5 on %17, out-of-domain role
+    on %19) — per-conv integrity verdicts
+    (conversations.contract_audit; one conditional-agg groupBy)."""
+    from batukh_spark.operators.conversations import contract_audit
+    d = (t(spark, sf, "documents")
+         .select("doc_id",
+                 F.concat(F.lit("c"), F.col("doc_id").cast("string"))
+                 .alias("conv_id")))
+
+    def mk(pred, idx, role):
+        x = d if pred is None else d.where(pred)
+        return x.select("conv_id", F.lit(idx).alias("turn_idx"),
+                        F.lit(role).alias("role"))
+
+    did = F.col("doc_id")
+    turns = (mk(None, 0, "user")
+             .unionByName(mk(None, 1, "assistant"))
+             .unionByName(mk(None, 2, "tool"))
+             .unionByName(mk(did % 13 == 0, 1, "assistant"))
+             .unionByName(mk(did % 17 == 0, 5, "user"))
+             .unionByName(mk(did % 19 == 0, 3, "sytem")))
+    return contract_audit(turns)
+
+
+CONTRACT_AUDIT_SQL = """
+with t as (
+  select 'c' || doc_id as conv_id, 0 as turn_idx, 'user' as role
+  from documents
+  union all select 'c' || doc_id, 1, 'assistant' from documents
+  union all select 'c' || doc_id, 2, 'tool' from documents
+  union all select 'c' || doc_id, 1, 'assistant' from documents
+    where doc_id % 13 = 0
+  union all select 'c' || doc_id, 5, 'user' from documents
+    where doc_id % 17 = 0
+  union all select 'c' || doc_id, 3, 'sytem' from documents
+    where doc_id % 19 = 0
+), a as (
+  select conv_id,
+         count(*)::bigint as n_turns,
+         count(distinct turn_idx)::bigint as nd,
+         sum(case when turn_idx is null then 1 else 0 end)::bigint
+           as n_null_idx,
+         min(turn_idx)::bigint as min_idx,
+         max(turn_idx)::bigint as mx,
+         sum(case when role in ('user','assistant','tool','system')
+             then 0 else 1 end)::bigint as n_bad_role
+  from t group by conv_id
+)
+select conv_id, n_turns,
+       (n_turns - n_null_idx - nd)::bigint as n_dup_idx,
+       n_null_idx, min_idx,
+       (case when nd > 0 then mx - min_idx + 1 - nd
+             else 0 end)::bigint as n_gaps,
+       n_bad_role,
+       coalesce((n_turns - n_null_idx - nd) = 0 and n_null_idx = 0
+                and (case when nd > 0 then mx - min_idx + 1 - nd
+                     else 0 end) = 0
+                and n_bad_role = 0 and min_idx = 0, false) as ok
+from a
+"""
+
+
 def c4_line_clean_q(spark, sf):
     """C4-style line-level cleaning over documents: per-line keep
     rules (word count, terminal punctuation, marker substrings, '{')
@@ -3882,6 +3947,7 @@ QUERIES = {
     "key_skew_report": (key_skew_report_q, KEY_SKEW_REPORT_SQL),
     "transition_latency": (transition_latency_q, TRANSITION_LATENCY_SQL),
     "c4_line_clean": (c4_line_clean_q, C4_LINE_CLEAN_SQL),
+    "contract_audit": (contract_audit_q, CONTRACT_AUDIT_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

@@ -1018,3 +1018,29 @@ def test_c4_line_clean_rules(spark):
     # NULL text -> one empty line, nothing kept, empty clean_text
     assert got[2] == (1, 0, "")
     assert got[3] == (1, 0, "")
+
+
+def test_contract_audit_verdicts(spark):
+    from batukh_spark.operators.conversations import contract_audit
+    rows = [
+        # clean conversation
+        ("a", 0, "user"), ("a", 1, "assistant"),
+        # duplicate index
+        ("b", 0, "user"), ("b", 1, "assistant"), ("b", 1, "assistant"),
+        # gap (0, 2) and bad role
+        ("c", 0, "user"), ("c", 2, "sytem"),
+        # null index + leading offset
+        ("d", None, "user"), ("d", 1, "assistant"),
+        # all-null indices: ok must be False, not NULL
+        ("e", None, "user"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string")
+    got = {r.conv_id: (r.n_turns, r.n_dup_idx, r.n_null_idx, r.min_idx,
+                       r.n_gaps, r.n_bad_role, r.ok)
+           for r in contract_audit(df).collect()}
+    assert got["a"] == (2, 0, 0, 0, 0, 0, True)
+    assert got["b"] == (3, 1, 0, 0, 0, 0, False)
+    assert got["c"] == (2, 0, 0, 0, 1, 1, False)
+    assert got["d"] == (2, 0, 1, 1, 0, 0, False)
+    assert got["e"] == (1, 0, 1, None, 0, 0, False)
