@@ -889,3 +889,38 @@ def c4_line_clean(docs: DataFrame, min_words: int = 3,
         F.size("__lines").cast("long").alias("n_lines"),
         F.size("__kept").cast("long").alias("n_kept"),
         F.array_join("__kept", "\n").alias("clean_text"))
+
+
+def dedup_lines(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Within-document duplicate-line removal, keeping each line's
+    FIRST occurrence in order — the companion to `c4_line_clean` for
+    the scraping artifact it cannot catch: the same nav/footer/cookie
+    line repeated throughout one page (line-identical repetition is
+    also the dominant term in quality_score's dup_line_frac; this is
+    the ACTION to that signal's report).
+
+    Returns (id_col, n_lines, n_unique, clean_text) with kept lines
+    rejoined by newlines.
+
+    Scale: 100% scan-local — a single aggregate fold builds the
+    deduped array in one pass over the staged line array (no explode,
+    no shuffle; the containment probe is O(k) against the running
+    UNIQUE prefix, bounded by distinct lines per doc).  The lambda
+    references only its bound accumulator/element, per the audit
+    rule."""
+    lines = docs.select(F.col(id_col),
+                        F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                "\n").alias("__lines"))
+    kept = lines.select(
+        F.col(id_col), F.col("__lines"),
+        F.aggregate(
+            "__lines",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(F.array_contains(acc, x), acc)
+            .otherwise(F.concat(acc, F.array(x)))).alias("__kept"))
+    return kept.select(
+        F.col(id_col),
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.size("__kept").cast("long").alias("n_unique"),
+        F.array_join("__kept", "\n").alias("clean_text"))

@@ -2917,6 +2917,53 @@ from cum group by 1, 2
 """
 
 
+def dedup_lines_q(spark, sf):
+    """Within-doc duplicate-line removal keeping first occurrences
+    (textstats.dedup_lines — scan-local aggregate fold over the staged
+    line array, no shuffle).  Documents are augmented with a planted
+    repeated-footer twin so the dedup actually fires."""
+    from batukh_spark.operators.textstats import dedup_lines
+    docs = t_spread(spark, sf, "documents")
+    # plant: every doc_id%7==0 doc gets a nav line prepended, repeated
+    # mid-text and appended — the classic scraped-chrome artifact
+    nav = F.lit("Home | About | Contact")
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(nav, F.lit("\n"),
+                        F.coalesce(F.col("text"), F.lit("")),
+                        F.lit("\n"), nav, F.lit("\n"), nav))
+        .otherwise(F.col("text")).alias("text"))
+    return dedup_lines(planted)
+
+
+DEDUP_LINES_SQL = """
+with src as (
+  select doc_id,
+         case when doc_id % 7 = 0 then
+           'Home | About | Contact' || chr(10) || coalesce(text, '')
+           || chr(10) || 'Home | About | Contact'
+           || chr(10) || 'Home | About | Contact'
+         else text end as text
+  from documents
+), l as (
+  select doc_id, string_split(coalesce(text, ''), chr(10)) as lines
+  from src
+), e as (
+  select doc_id, len(lines)::bigint as n_lines,
+         unnest(lines) as line, generate_subscripts(lines, 1) as ord
+  from l
+), firsts as (
+  select doc_id, any_value(n_lines) as n_lines, line, min(ord) as ord
+  from e group by doc_id, line
+)
+select doc_id, any_value(n_lines)::bigint as n_lines,
+       count(*)::bigint as n_unique,
+       coalesce(string_agg(line, chr(10) order by ord), '') as clean_text
+from firsts group by doc_id
+"""
+
+
 def contract_audit_q(spark, sf):
     """Pre-flight transcript contract audit over templated 3-turn
     conversations with PLANTED violations (duplicate index on
@@ -3948,6 +3995,7 @@ QUERIES = {
     "transition_latency": (transition_latency_q, TRANSITION_LATENCY_SQL),
     "c4_line_clean": (c4_line_clean_q, C4_LINE_CLEAN_SQL),
     "contract_audit": (contract_audit_q, CONTRACT_AUDIT_SQL),
+    "dedup_lines": (dedup_lines_q, DEDUP_LINES_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

@@ -1044,3 +1044,16 @@ def test_contract_audit_verdicts(spark):
     assert got["c"] == (2, 0, 0, 0, 1, 1, False)
     assert got["d"] == (2, 0, 1, 1, 0, 0, False)
     assert got["e"] == (1, 0, 1, None, 0, 0, False)
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    from batukh_spark.operators.textstats import dedup_lines
+    doc = "nav\nreal content one.\nnav\nreal content two.\n\nnav\n"
+    df = spark.createDataFrame([(1, doc), (2, None)],
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.n_unique, r.clean_text)
+           for r in dedup_lines(df).collect()}
+    # lines: nav, c1, nav, c2, '', nav, '' -> kept: nav, c1, c2, ''
+    assert got[1] == (7, 4,
+                      "nav\nreal content one.\nreal content two.\n")
+    assert got[2] == (1, 1, "")
