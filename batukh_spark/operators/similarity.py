@@ -412,3 +412,45 @@ def hard_negatives(emb: DataFrame, anchors: DataFrame, k: int = 5,
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (local.withColumn("__rn", F.row_number().over(w2))
             .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def embedding_audit(emb: DataFrame, expected_dim: int,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Pre-flight contract audit for an embedding table — run BEFORE
+    committing an ANN/dedup job at scale, because every failure class
+    here silently corrupts downstream math: NULL vectors drop rows in
+    joins, wrong-dim vectors break dot products, NaNs poison every
+    aggregate they touch, and zero vectors make cosine undefined
+    (the serving guards in ivf_topk/cosine_topk then skip or misrank
+    them).
+
+    Returns ONE row:
+      (n_rows, n_null_vec, n_wrong_dim, n_nan, n_zero, ok)
+    where n_wrong_dim counts non-NULL vectors with size != expected_dim,
+    n_nan counts vectors containing any NaN, n_zero counts all-zero
+    vectors (exact comparison, no float arithmetic — engine-safe), and
+    ok = every count but n_rows is 0.
+
+    Scale: scan-local conditional aggregates folded map-side; the
+    exchange carries ONE row of longs.  Lambdas reference only their
+    bound element."""
+    v = F.col(vec_col)
+    is_null = v.isNull()
+    wrong_dim = ~is_null & (F.size(v) != expected_dim)
+    has_nan = ~is_null & F.exists(v, lambda x: F.isnan(x))
+    all_zero = ~is_null & ~F.exists(v, lambda x: x != 0.0)
+
+    def cnt(c, name):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(name)
+
+    out = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        cnt(is_null, "n_null_vec"),
+        cnt(wrong_dim, "n_wrong_dim"),
+        cnt(has_nan, "n_nan"),
+        cnt(all_zero, "n_zero"))
+    ok = ((F.col("n_null_vec") == 0) & (F.col("n_wrong_dim") == 0)
+          & (F.col("n_nan") == 0) & (F.col("n_zero") == 0))
+    return out.select("n_rows", "n_null_vec", "n_wrong_dim", "n_nan",
+                      "n_zero", ok.alias("ok"))

@@ -2917,6 +2917,73 @@ from cum group by 1, 2
 """
 
 
+def embedding_audit_q(spark, sf):
+    """Pre-flight embedding contract audit with PLANTED violations
+    (NULL vec on vec_id%23, truncated dim on %29, injected NaN on %31,
+    all-zero vector on %37) — one row of corpus-wide counts
+    (similarity.embedding_audit; scan-local conditional aggs)."""
+    from batukh_spark.operators.similarity import embedding_audit
+    emb = t(spark, sf, "embeddings")
+    vid = F.col("vec_id")
+    base = emb.select("vec_id", "embedding")
+    nulls = (emb.where(vid % 23 == 0)
+             .select((vid + 1000000).alias("vec_id"),
+                     F.lit(None).cast("array<float>").alias("embedding")))
+    short = (emb.where(vid % 29 == 0)
+             .select((vid + 2000000).alias("vec_id"),
+                     F.slice("embedding", 1, 3).alias("embedding")))
+    nans = (emb.where(vid % 31 == 0)
+            .select((vid + 3000000).alias("vec_id"),
+                    F.concat(F.array(F.lit(float("nan")).cast("float")),
+                             F.slice("embedding", 2, 63))
+                    .alias("embedding")))
+    zeros = (emb.where(vid % 37 == 0)
+             .select((vid + 4000000).alias("vec_id"),
+                     F.array_repeat(F.lit(0.0).cast("float"), 64)
+                     .alias("embedding")))
+    planted = (base.unionByName(nulls).unionByName(short)
+               .unionByName(nans).unionByName(zeros))
+    return embedding_audit(planted, expected_dim=64)
+
+
+EMBEDDING_AUDIT_SQL = """
+with planted as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + 1000000, null::float[] from embeddings
+    where vec_id % 23 = 0
+  union all
+  select vec_id + 2000000, embedding[1:3] from embeddings
+    where vec_id % 29 = 0
+  union all
+  select vec_id + 3000000,
+         list_prepend('NaN'::float, embedding[2:64]) from embeddings
+    where vec_id % 31 = 0
+  union all
+  select vec_id + 4000000,
+         list_transform(embedding, x -> 0.0::float) from embeddings
+    where vec_id % 37 = 0
+), a as (
+  select count(*)::bigint as n_rows,
+         sum(case when embedding is null then 1 else 0 end)::bigint
+           as n_null_vec,
+         sum(case when embedding is not null and len(embedding) <> 64
+             then 1 else 0 end)::bigint as n_wrong_dim,
+         sum(case when embedding is not null and
+             len(list_filter(embedding, x -> isnan(x))) > 0
+             then 1 else 0 end)::bigint as n_nan,
+         sum(case when embedding is not null and
+             len(list_filter(embedding, x -> x <> 0.0)) = 0
+             then 1 else 0 end)::bigint as n_zero
+  from planted
+)
+select n_rows, n_null_vec, n_wrong_dim, n_nan, n_zero,
+       (n_null_vec = 0 and n_wrong_dim = 0 and n_nan = 0
+        and n_zero = 0) as ok
+from a
+"""
+
+
 def dedup_lines_q(spark, sf):
     """Within-doc duplicate-line removal keeping first occurrences
     (textstats.dedup_lines — scan-local aggregate fold over the staged
@@ -3996,6 +4063,7 @@ QUERIES = {
     "c4_line_clean": (c4_line_clean_q, C4_LINE_CLEAN_SQL),
     "contract_audit": (contract_audit_q, CONTRACT_AUDIT_SQL),
     "dedup_lines": (dedup_lines_q, DEDUP_LINES_SQL),
+    "embedding_audit": (embedding_audit_q, EMBEDDING_AUDIT_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

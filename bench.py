@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     "length_bucketed_batches", "vocab_coverage", "hard_negatives",
     "interleave_domains", "token_length_profile",
     "corpus_delta", "mix_report", "key_skew_report", "transition_latency",
-    "c4_line_clean", "contract_audit", "dedup_lines",
+    "c4_line_clean", "contract_audit", "dedup_lines", "embedding_audit",
 ]
 # srp_recall is excluded: its brute-force TRUTH SET is intentionally
 # all-pairs (it exists to measure the banded path's recall) and runs at

@@ -1057,3 +1057,21 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     assert got[1] == (7, 4,
                       "nav\nreal content one.\nreal content two.\n")
     assert got[2] == (1, 1, "")
+
+
+def test_embedding_audit_counts(spark):
+    from batukh_spark.operators.similarity import embedding_audit
+    rows = [
+        (1, [1.0, 2.0]),             # clean
+        (2, None),                   # null vec
+        (3, [1.0]),                  # wrong dim
+        (4, [float("nan"), 1.0]),    # nan
+        (5, [0.0, 0.0]),             # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = embedding_audit(df, expected_dim=2).collect()[0]
+    assert (r.n_rows, r.n_null_vec, r.n_wrong_dim, r.n_nan, r.n_zero,
+            r.ok) == (5, 1, 1, 1, 1, False)
+    clean = spark.createDataFrame([(1, [1.0, 2.0])],
+                                  "vec_id long, embedding array<float>")
+    assert embedding_audit(clean, expected_dim=2).collect()[0].ok is True
