@@ -603,9 +603,11 @@ def contract_audit(turns: DataFrame,
     outside `roles` (NULL counts as bad), and ok = every check clean
     AND min_idx = 0.
 
-    Scale: ONE groupBy(id_col) of codegen conditional aggregates — the
-    same single conversation shuffle every per-conv rollup pays; the
-    shuffle rows carry a handful of longs, never text."""
+    Scale: one groupBy(id_col) of codegen conditional aggregates; the
+    exact distinct-index count makes Spark plan it as TWO bounded
+    exchanges — partials keyed by (id, index), then by id — both
+    carrying a handful of longs per conversation, never text (pinned
+    by the plan test)."""
     role_ok = F.col(role_col).isin(*roles)
     idx = F.col(order_col)
     agg = turns.groupBy(F.col(id_col)).agg(

@@ -1075,3 +1075,44 @@ def test_embedding_audit_counts(spark):
     clean = spark.createDataFrame([(1, [1.0, 2.0])],
                                   "vec_id long, embedding array<float>")
     assert embedding_audit(clean, expected_dim=2).collect()[0].ok is True
+
+
+def test_new_ops_plan_shuffle_budget(spark):
+    """Pin the scale story of the round-5 audit operators: the
+    scan-local ones must have ZERO exchanges; the per-group ones
+    exactly the shuffles their docstrings claim."""
+    from batukh_spark.operators.textstats import c4_line_clean, dedup_lines
+    from batukh_spark.operators.similarity import embedding_audit
+    from batukh_spark.operators.conversations import (
+        contract_audit, transition_latency_profile)
+    docs = spark.createDataFrame([(1, "a b c.\nx")],
+                                 "doc_id long, text string")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # scan-local: no exchange at all
+    assert "Exchange" not in plan(c4_line_clean(docs))
+    assert "Exchange" not in plan(dedup_lines(docs))
+
+    emb = spark.createDataFrame([(1, [1.0, 2.0])],
+                                "vec_id long, embedding array<float>")
+    p = plan(embedding_audit(emb, expected_dim=2))
+    # global agg: map-side partial then ONE single-partition exchange
+    assert p.count("Exchange") == 1 and "partial" in p
+
+    turns = spark.createDataFrame([("c", 0, "user")],
+                                  "conv_id string, turn_idx int, role string")
+    p = plan(contract_audit(turns))
+    # exact distinct-index count -> two bounded exchanges: partials by
+    # (conv, idx), then by conv; both longs-only
+    assert p.count("hashpartitioning") == 2 and "partial" in p
+    assert "conv_id" in p[p.index("hashpartitioning"):]
+
+    ev = spark.createDataFrame(
+        [(1, 1, "a", __import__("datetime").datetime(2026, 1, 1))],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    p = plan(transition_latency_profile(ev))
+    # the lag window shuffles by key; everything after runs on the
+    # (pair, gap) histogram
+    assert "hashpartitioning(__k" in p
