@@ -46,7 +46,8 @@ def main(argv=None) -> int:
     p.add_argument("--parallelism", type=int, default=None,
                    help="local[N] cores (ignored on a real cluster)")
     p.add_argument("--job",
-                   choices=["extract", "mix", "batches", "convdocs", "sft"],
+                   choices=["extract", "mix", "batches", "convdocs",
+                            "sft", "audit"],
                    default="extract",
                    help="extract (default) | mix (training-chunk rows "
                         "from an extraction output) | batches (packed "
@@ -126,6 +127,20 @@ def _run_training_job(spark, args) -> dict:
 
     t0 = time.time()
     ext = _read_table(spark, args.input)
+    if args.job == "audit":
+        # pre-flight contract audit: per-conversation integrity verdicts
+        # over a transcript-shaped table (raw input OR an extraction
+        # output — both carry conv_id/turn_idx/role).  The flagged count
+        # is taken from the WRITTEN per-conv table (small), not by
+        # re-running the corpus aggregation.
+        from batukh_spark.operators.conversations import contract_audit
+        out = contract_audit(ext)
+        n_rows = _write_table(spark, out, args.output)
+        written = _read_table(spark, args.output)
+        n_flagged = written.where(~F.col("ok")).count()
+        return {"job": args.job, "rows_out": n_rows,
+                "convs_flagged": n_flagged,
+                "wall_s": time.time() - t0}
     if args.job == "convdocs":
         from batukh_spark.operators.conversations import (
             assemble_conversations)

@@ -116,3 +116,26 @@ def test_cli_sft_job(tmp_path):
         f"read_parquet('{ext}/*/*.parquet', hive_partitioning=1) e "
         f"where e.conv_id = m.conv_id)").fetchone()[0]
     assert missing == 0
+
+
+def test_cli_audit_job(tmp_path):
+    ext = str(tmp_path / "ext")
+    audit = str(tmp_path / "audit")
+    s0 = _run(["--synthesize", "40", "--output", ext,
+               "--metrics", str(tmp_path / "m"),
+               "--n-units", "4", "--parallelism", "8"])
+    assert s0["units_completed"] == 4
+    s1 = _run(["--job", "audit", "--input", ext, "--output", audit,
+               "--parallelism", "8"])
+    # synthesized corpus honors the contract: one verdict row per
+    # conversation, nothing flagged
+    con = duckdb.connect()
+    n_convs = con.execute(
+        f"select count(distinct conv_id) from "
+        f"read_parquet('{ext}/*/*.parquet')").fetchone()[0]
+    assert s1["job"] == "audit" and s1["rows_out"] == n_convs
+    assert s1["convs_flagged"] == 0
+    n_ok = con.execute(
+        f"select count(*) from read_parquet('{audit}/*.parquet') "
+        f"where ok").fetchone()[0]
+    assert n_ok == n_convs
