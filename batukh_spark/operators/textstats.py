@@ -924,3 +924,97 @@ def dedup_lines(docs: DataFrame, id_col: str = "doc_id",
         F.size("__lines").cast("long").alias("n_lines"),
         F.size("__kept").cast("long").alias("n_unique"),
         F.array_join("__kept", "\n").alias("clean_text"))
+
+
+# Frozen logistic-regression quality-classifier coefficients — the
+# GPT-3-style LR corpus filter (Brown et al. 2020, App. A), shipped as
+# FROZEN weights the same way the reference ships trained U-Net
+# weights and runs inference only (/root/reference/batukh/torch/
+# segmenter.py:394-411).  The features are integer-exact per doc;
+# only the final sigmoid is float, and the emitted score is rounded to
+# 6 places (the repo's cross-engine float guard).  The SQL oracle is
+# generated from THESE literals, so the two engines cannot drift.
+QC_WEIGHTS = {
+    "bias": -2.0,
+    "log_len": 0.35,       # ln(1 + n_words): longer docs score higher
+    "stop_frac": 6.0,      # stopword share: fluent prose scores higher
+    "mean_word_len": -0.15,  # very long avg words = code/garbage tell
+}
+
+
+def quality_classifier(docs: DataFrame, threshold: float = 0.5,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Inference-only logistic quality classifier over integer-exact
+    features: score = sigmoid(b + w1*ln(1+nw) + w2*stop_frac
+    + w3*mean_word_len), rounded to 6 places; keep = score >=
+    threshold (compared on the ROUNDED value so both engines decide
+    identically).
+
+    Complements `quality_score` (hand-tuned rule bands): this is the
+    learned-filter shape real pipelines use for corpus-vs-reference
+    discrimination, with coefficients frozen as literals (QC_WEIGHTS)
+    exactly like the reference's shipped model weights.
+
+    Scale: scan-local — staged token array, two bounded folds, pure
+    codegen arithmetic; no shuffle, no UDF."""
+    from batukh_spark.operators.text import tokens_col
+    pre = docs.select(
+        F.col(id_col),
+        tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+        .alias("__toks"))
+    toks = F.col("__toks")
+    sw = F.array([F.lit(w) for w in STOPWORDS_EN])
+    staged = pre.select(
+        F.col(id_col),
+        F.size(toks).alias("__nw"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .alias("__nstop"),
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        .alias("__chars"))
+    nw = F.col("__nw")
+    x1 = F.log(F.lit(1.0) + nw)
+    x2 = F.when(nw > 0, F.col("__nstop") / nw).otherwise(0.0)
+    x3 = F.when(nw > 0, F.col("__chars") / nw).otherwise(0.0)
+    w = QC_WEIGHTS
+    z = (F.lit(w["bias"]) + F.lit(w["log_len"]) * x1
+         + F.lit(w["stop_frac"]) * x2 + F.lit(w["mean_word_len"]) * x3)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    out = staged.select(F.col(id_col), score.alias("score"))
+    return out.select(id_col, "score",
+                      (F.col("score") >= threshold).alias("keep"))
+
+
+def quality_classifier_sql(src: str = "documents",
+                           threshold: float = 0.5) -> str:
+    """DuckDB oracle for quality_classifier, generated from the SAME
+    QC_WEIGHTS literals."""
+    w = QC_WEIGHTS
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return rf"""
+with qctoks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '\s+'),
+                     x -> x <> '') as tokens
+  from {src}
+), f as (
+  select doc_id, len(tokens)::bigint as nw,
+         len(list_filter(tokens, x -> x in ({stop_list})))::bigint
+           as nstop,
+         coalesce(list_sum(list_transform(tokens, x -> strlen(x))),
+                  0)::bigint as chars
+  from qctoks
+), s as (
+  select doc_id,
+         round(1.0 / (1.0 + exp(-({w["bias"]}
+               + {w["log_len"]} * ln(1.0 + nw)
+               + {w["stop_frac"]} * (case when nw > 0
+                                     then nstop / nw::double else 0 end)
+               + {w["mean_word_len"]} * (case when nw > 0
+                                     then chars / nw::double else 0
+                                     end)))), 6) as score
+  from f
+)
+select doc_id, score, score >= {threshold} as keep from s
+"""

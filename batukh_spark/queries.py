@@ -2917,6 +2917,20 @@ from cum group by 1, 2
 """
 
 
+def quality_classifier_q(spark, sf):
+    """Frozen-weights logistic quality classifier over documents
+    (textstats.quality_classifier — GPT-3-style LR corpus filter,
+    inference-only like the reference's shipped U-Net weights;
+    scan-local integer-exact features, sigmoid rounded to 6)."""
+    from batukh_spark.operators.textstats import quality_classifier
+    return quality_classifier(t_spread(spark, sf, "documents"))
+
+
+def _quality_classifier_sql():
+    from batukh_spark.operators.textstats import quality_classifier_sql
+    return quality_classifier_sql("documents")
+
+
 def embedding_audit_q(spark, sf):
     """Pre-flight embedding contract audit with PLANTED violations
     (NULL vec on vec_id%23, truncated dim on %29, injected NaN on %31,
@@ -4064,6 +4078,7 @@ QUERIES = {
     "contract_audit": (contract_audit_q, CONTRACT_AUDIT_SQL),
     "dedup_lines": (dedup_lines_q, DEDUP_LINES_SQL),
     "embedding_audit": (embedding_audit_q, EMBEDDING_AUDIT_SQL),
+    "quality_classifier": (quality_classifier_q, _quality_classifier_sql()),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

@@ -1116,3 +1116,20 @@ def test_new_ops_plan_shuffle_budget(spark):
     # the lag window shuffles by key; everything after runs on the
     # (pair, gap) histogram
     assert "hashpartitioning(__k" in p
+
+
+def test_quality_classifier_orders_fluent_above_garbage(spark):
+    from batukh_spark.operators.textstats import quality_classifier
+    fluent = ("the cat sat on the mat and it was happy that the sun "
+              "was out for the day and this is a fine sentence")
+    garbage = "qwertyuiopasdfgh zxcvbnmqwertyuio pqlamzndhtkrbvcs"
+    df = spark.createDataFrame([(1, fluent), (2, garbage), (3, ""),
+                                (4, None)],
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.score, r.keep)
+           for r in quality_classifier(df).collect()}
+    assert got[1][0] > got[2][0]
+    assert got[1][1] is True
+    # empty/NULL docs: all features zero -> sigmoid(bias) = 0.119203
+    assert got[3] == (0.119203, False)
+    assert got[4] == (0.119203, False)
