@@ -370,3 +370,72 @@ def interleave_domains(rows, domain_col: str = "lang",
     return joined.select(F.col(id_col), F.col("__d").alias(domain_col),
                          rank.alias("domain_rank"),
                          pos.alias("global_pos"))
+
+
+def fixed_size_sample(docs: DataFrame, k: int,
+                      strata_col: str = "source", salt: str = "",
+                      id_col: str = "doc_id") -> DataFrame:
+    """EXACTLY min(k, n) documents per stratum, deterministically —
+    the reservoir-sample equivalent for fixed-budget eval sets and
+    per-domain golden samples, where `stratified_sample`'s Bernoulli
+    rate gives only an EXPECTED size.  Selection order is
+    md5(salt, stratum, id): stable under any partitioning, and
+    changing the salt draws an independent sample.
+
+    Returns (id_col, strata_col, rank) with rank in [1, min(k, n)].
+
+    Scale: a naive per-stratum sort ships every row to one reducer per
+    stratum (a mega-stratum kills that at corpus scale).  Instead the
+    k-th smallest hash is BOUNDED: with n rows uniform in [0, 16^15),
+    the k smallest all lie under thresh = 4k/n * 16^15 except with
+    probability exp(-Theta(k)), so the scan keeps only ~4k candidate
+    rows per stratum (threshold broadcast from a tiny count agg) and
+    the exact rank window runs on those.  A chained assert_true fails
+    LOUDLY if the bound ever undershoots (rank count != min(k, n)) —
+    wrong answers are impossible, not just unlikely."""
+    if not (isinstance(k, int) and k >= 1):
+        raise ValueError(f"k must be an int >= 1, got {k!r}")
+    from pyspark.sql import Window
+    HEXMAX = 16 ** 15  # md5 prefix domain, fits a long
+    h = F.md5(F.concat_ws(
+        "\x1f", F.lit(salt), F.col(strata_col),
+        F.col(id_col).cast("string")))
+    # __hs (full hex string) is the ORDER key — lexicographic order of
+    # fixed-width lowercase hex == numeric order, and it is exactly
+    # what a SQL oracle sorts; __h (numeric 15-hex prefix) exists only
+    # for the threshold arithmetic (a prefix tie cannot misrank:
+    # candidacy is a superset, the rank sorts on the full hash)
+    pre = docs.select(F.col(id_col), F.col(strata_col),
+                      h.alias("__hs"),
+                      F.conv(F.substring(h, 1, 15), 16, 10)
+                      .cast("long").alias("__h"))
+    counts = pre.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("__n"))
+    thresh = counts.select(
+        strata_col,
+        F.col("__n"),
+        F.least(F.lit(float(HEXMAX - 1)),
+                F.lit(float(4 * k)) / F.col("__n") * F.lit(float(HEXMAX)))
+        .cast("long").alias("__t"))
+    cand = (pre.join(F.broadcast(thresh.select(strata_col, "__t")),
+                     strata_col)
+            .where(F.col("__h") <= F.col("__t")))
+    w = Window.partitionBy(strata_col).orderBy("__hs", id_col)
+    ranked = (cand.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k))
+    # loud undershoot guard: every stratum must yield min(k, n) rows
+    got = ranked.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("__got"))
+    checked = (ranked.join(F.broadcast(
+        got.join(thresh.select(strata_col, "__n"), strata_col)),
+        strata_col)
+        .withColumn(
+            "__ok",
+            F.assert_true(
+                F.col("__got") == F.least(F.lit(k), F.col("__n")),
+                F.concat(F.lit("fixed_size_sample: hash-threshold "
+                               "undershoot in stratum "),
+                         F.col(strata_col))))
+        .where(F.col("__ok").isNull()))
+    return checked.select(F.col(id_col), F.col(strata_col),
+                          F.col("rank").cast("long").alias("rank"))

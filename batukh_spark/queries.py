@@ -2917,6 +2917,31 @@ from cum group by 1, 2
 """
 
 
+def fixed_size_sample_q(spark, sf):
+    """Exactly 25 documents per source, deterministically by
+    md5(stratum, id) order (sampling.fixed_size_sample — scan-side
+    hash-threshold prune keeps ~4k candidates per stratum before the
+    exact rank; loud assert if the bound ever undershoots)."""
+    from batukh_spark.operators.sampling import fixed_size_sample
+    docs = t_spread(spark, sf, "documents")
+    return fixed_size_sample(docs, k=25)
+
+
+FIXED_SIZE_SAMPLE_SQL = """
+with h as (
+  select doc_id, source,
+         md5(chr(31) || source || chr(31) || doc_id::varchar) as hh
+  from documents
+), r as (
+  select doc_id, source,
+         row_number() over (partition by source
+                            order by hh, doc_id) as rank
+  from h
+)
+select doc_id, source, rank::bigint as rank from r where rank <= 25
+"""
+
+
 def quality_classifier_q(spark, sf):
     """Frozen-weights logistic quality classifier over documents
     (textstats.quality_classifier — GPT-3-style LR corpus filter,
@@ -4079,6 +4104,7 @@ QUERIES = {
     "dedup_lines": (dedup_lines_q, DEDUP_LINES_SQL),
     "embedding_audit": (embedding_audit_q, EMBEDDING_AUDIT_SQL),
     "quality_classifier": (quality_classifier_q, _quality_classifier_sql()),
+    "fixed_size_sample": (fixed_size_sample_q, FIXED_SIZE_SAMPLE_SQL),
     "epoch_order": (epoch_order_q, EPOCH_ORDER_SQL),
     "boilerplate_turns": (boilerplate_turns_q, BOILERPLATE_TURNS_SQL),
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_LOGPROB_SQL),

@@ -84,7 +84,7 @@ BENCH_QUERIES = [
     "interleave_domains", "token_length_profile",
     "corpus_delta", "mix_report", "key_skew_report", "transition_latency",
     "c4_line_clean", "contract_audit", "dedup_lines", "embedding_audit",
-    "quality_classifier",
+    "quality_classifier", "fixed_size_sample",
 ]
 # srp_recall is excluded: its brute-force TRUTH SET is intentionally
 # all-pairs (it exists to measure the banded path's recall) and runs at

@@ -1133,3 +1133,28 @@ def test_quality_classifier_orders_fluent_above_garbage(spark):
     # empty/NULL docs: all features zero -> sigmoid(bias) = 0.119203
     assert got[3] == (0.119203, False)
     assert got[4] == (0.119203, False)
+
+
+def test_fixed_size_sample_exact_k_and_determinism(spark):
+    from batukh_spark.operators.sampling import fixed_size_sample
+    rows = ([(i, "big") for i in range(200)]
+            + [(1000 + i, "small") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = fixed_size_sample(df, k=10).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append((r.rank, r.doc_id))
+    # exactly min(k, n) per stratum, ranks dense from 1
+    assert sorted(r for r, _ in by["big"]) == list(range(1, 11))
+    assert sorted(r for r, _ in by["small"]) == [1, 2, 3]
+    # deterministic under any partitioning
+    again = {(r.source, r.rank, r.doc_id)
+             for r in fixed_size_sample(df.repartition(7), k=10).collect()}
+    assert again == {(r.source, r.rank, r.doc_id) for r in out}
+    # salt draws an independent sample
+    other = {(r.source, r.rank, r.doc_id)
+             for r in fixed_size_sample(df, k=10, salt="x").collect()}
+    assert {t[2] for t in other if t[0] == "big"} \
+        != {t[2] for t in again if t[0] == "big"}
+    with pytest.raises(ValueError):
+        fixed_size_sample(df, k=0)
