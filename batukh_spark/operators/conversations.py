@@ -535,6 +535,13 @@ def transition_latency_profile(events: DataFrame, qs=(50, 90, 99),
     exact duplicate timestamps are broken deterministically.  The
     first event of each key has no predecessor and contributes no gap.
 
+    Contract: rows with NULL ts or NULL tiebreak are DROPPED before
+    the lag window — a NULL order key has no defined position in a
+    latency sequence, and engines disagree on where to sort it (Spark
+    windows default NULLS FIRST ascending, DuckDB NULLS LAST), so
+    keeping them would make the gap histogram partitioning-dependent
+    and oracle-divergent.
+
     Returns one row per observed transition:
       (prev_type, next_type, n_gaps, total_gap_s, p50, p90, ...)
     with inverse-CDF-lower quantiles (smallest gap whose cumulative
@@ -547,10 +554,12 @@ def transition_latency_profile(events: DataFrame, qs=(50, 90, 99),
     |type pairs| x |distinct integer gaps| — small-table class at any
     corpus size."""
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    seq = events.select(F.col(key_col).alias("__k"),
-                        F.col(type_col).alias("__t"),
-                        us.alias("__us"),
-                        F.col(tiebreak_col).alias("__tb"))
+    seq = (events.select(F.col(key_col).alias("__k"),
+                         F.col(type_col).alias("__t"),
+                         us.alias("__us"),
+                         F.col(tiebreak_col).alias("__tb"))
+           .where(F.col("__us").isNotNull()
+                  & F.col("__tb").isNotNull()))
     w = Window.partitionBy("__k").orderBy("__us", "__tb")
     lagd = seq.select(
         F.lag("__t").over(w).alias("prev_type"),

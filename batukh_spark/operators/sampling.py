@@ -423,19 +423,27 @@ def fixed_size_sample(docs: DataFrame, k: int,
     w = Window.partitionBy(strata_col).orderBy("__hs", id_col)
     ranked = (cand.withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k))
-    # loud undershoot guard: every stratum must yield min(k, n) rows
+    # loud undershoot guard driven from the FULL stratum set: the old
+    # guard chained inner joins from `ranked`, so a stratum whose
+    # hash-threshold prune yielded ZERO candidates never reached the
+    # assert and silently vanished (probability ~exp(-4k) per stratum
+    # — real at k=1).  Instead left-join per-stratum output counts
+    # onto the count table and assert coalesce(got, 0) == min(k, n)
+    # for EVERY stratum, collapsed to one broadcast row so the check
+    # rides the returned plan lazily (min() over the all-NULL asserts
+    # keeps the column referenced — it cannot be pruned).
     got = ranked.groupBy(strata_col).agg(
         F.count(F.lit(1)).alias("__got"))
-    checked = (ranked.join(F.broadcast(
-        got.join(thresh.select(strata_col, "__n"), strata_col)),
-        strata_col)
-        .withColumn(
-            "__ok",
-            F.assert_true(
-                F.col("__got") == F.least(F.lit(k), F.col("__n")),
-                F.concat(F.lit("fixed_size_sample: hash-threshold "
-                               "undershoot in stratum "),
-                         F.col(strata_col))))
-        .where(F.col("__ok").isNull()))
+    guard = (thresh.select(strata_col, "__n")
+             .join(got, strata_col, "left")
+             .select(F.assert_true(
+                 F.coalesce(F.col("__got"), F.lit(0))
+                 == F.least(F.lit(k), F.col("__n")),
+                 F.concat(F.lit("fixed_size_sample: hash-threshold "
+                                "undershoot in stratum "),
+                          F.col(strata_col))).alias("__okrow"))
+             .agg(F.min("__okrow").alias("__g")))
+    checked = (ranked.crossJoin(F.broadcast(guard))
+               .where(F.col("__g").isNull()))
     return checked.select(F.col(id_col), F.col(strata_col),
                           F.col("rank").cast("long").alias("rank"))

@@ -426,11 +426,15 @@ def embedding_audit(emb: DataFrame, expected_dim: int,
     them).
 
     Returns ONE row:
-      (n_rows, n_null_vec, n_wrong_dim, n_nan, n_zero, ok)
+      (n_rows, n_null_vec, n_wrong_dim, n_null_elem, n_nan, n_zero, ok)
     where n_wrong_dim counts non-NULL vectors with size != expected_dim,
-    n_nan counts vectors containing any NaN, n_zero counts all-zero
-    vectors (exact comparison, no float arithmetic — engine-safe), and
-    ok = every count but n_rows is 0.
+    n_null_elem counts vectors containing any NULL element (these
+    poison dot products exactly like NaN, and under three-valued logic
+    they would otherwise slip PAST the NaN and zero checks — isnan(NULL)
+    and NULL != 0.0 are both NULL), n_nan counts vectors containing any
+    NaN, n_zero counts all-zero vectors (exact comparison, no float
+    arithmetic — engine-safe; a vector with NULL elements is never
+    counted zero), and ok = every count but n_rows is 0.
 
     Scale: scan-local conditional aggregates folded map-side; the
     exchange carries ONE row of longs.  Lambdas reference only their
@@ -438,8 +442,13 @@ def embedding_audit(emb: DataFrame, expected_dim: int,
     v = F.col(vec_col)
     is_null = v.isNull()
     wrong_dim = ~is_null & (F.size(v) != expected_dim)
-    has_nan = ~is_null & F.exists(v, lambda x: F.isnan(x))
-    all_zero = ~is_null & ~F.exists(v, lambda x: x != 0.0)
+    has_null_elem = ~is_null & F.exists(v, lambda x: x.isNull())
+    # per-element null guards keep every exists() a clean two-valued
+    # boolean — no NULL verdicts to mis-count
+    has_nan = ~is_null & F.exists(v, lambda x: x.isNotNull()
+                                  & F.isnan(x))
+    all_zero = (~is_null & ~has_null_elem
+                & ~F.exists(v, lambda x: x != 0.0))
 
     def cnt(c, name):
         return F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(name)
@@ -448,9 +457,12 @@ def embedding_audit(emb: DataFrame, expected_dim: int,
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         cnt(is_null, "n_null_vec"),
         cnt(wrong_dim, "n_wrong_dim"),
+        cnt(has_null_elem, "n_null_elem"),
         cnt(has_nan, "n_nan"),
         cnt(all_zero, "n_zero"))
     ok = ((F.col("n_null_vec") == 0) & (F.col("n_wrong_dim") == 0)
+          & (F.col("n_null_elem") == 0)
           & (F.col("n_nan") == 0) & (F.col("n_zero") == 0))
-    return out.select("n_rows", "n_null_vec", "n_wrong_dim", "n_nan",
+    return out.select("n_rows", "n_null_vec", "n_wrong_dim",
+                      "n_null_elem", "n_nan",
                       "n_zero", ok.alias("ok"))

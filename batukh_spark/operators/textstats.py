@@ -1002,7 +1002,7 @@ with qctoks as (
   select doc_id, len(tokens)::bigint as nw,
          len(list_filter(tokens, x -> x in ({stop_list})))::bigint
            as nstop,
-         coalesce(list_sum(list_transform(tokens, x -> strlen(x))),
+         coalesce(list_sum(list_transform(tokens, x -> length(x))),
                   0)::bigint as chars
   from qctoks
 ), s as (

@@ -2890,6 +2890,7 @@ def transition_latency_q(spark, sf):
 TRANSITION_LATENCY_SQL = """
 with seq as (
   select user_id, event_type, epoch_us(ts) as us, event_id from events
+  where ts is not null and event_id is not null
 ), lagd as (
   select lag(event_type) over w as prev_type,
          event_type as next_type,
@@ -2959,8 +2960,9 @@ def _quality_classifier_sql():
 def embedding_audit_q(spark, sf):
     """Pre-flight embedding contract audit with PLANTED violations
     (NULL vec on vec_id%23, truncated dim on %29, injected NaN on %31,
-    all-zero vector on %37) — one row of corpus-wide counts
-    (similarity.embedding_audit; scan-local conditional aggs)."""
+    all-zero vector on %37, NULL element on %41) — one row of
+    corpus-wide counts (similarity.embedding_audit; scan-local
+    conditional aggs)."""
     from batukh_spark.operators.similarity import embedding_audit
     emb = t(spark, sf, "embeddings")
     vid = F.col("vec_id")
@@ -2980,8 +2982,15 @@ def embedding_audit_q(spark, sf):
              .select((vid + 4000000).alias("vec_id"),
                      F.array_repeat(F.lit(0.0).cast("float"), 64)
                      .alias("embedding")))
+    nullel = (emb.where(vid % 41 == 0)
+              .select((vid + 5000000).alias("vec_id"),
+                      F.concat(F.slice("embedding", 1, 4),
+                               F.array(F.lit(None).cast("float")),
+                               F.slice("embedding", 6, 59))
+                      .alias("embedding")))
     planted = (base.unionByName(nulls).unionByName(short)
-               .unionByName(nans).unionByName(zeros))
+               .unionByName(nans).unionByName(zeros)
+               .unionByName(nullel))
     return embedding_audit(planted, expected_dim=64)
 
 
@@ -3002,6 +3011,10 @@ with planted as (
   select vec_id + 4000000,
          list_transform(embedding, x -> 0.0::float) from embeddings
     where vec_id % 37 = 0
+  union all
+  select vec_id + 5000000,
+         embedding[1:4] || [null::float] || embedding[6:64]
+    from embeddings where vec_id % 41 = 0
 ), a as (
   select count(*)::bigint as n_rows,
          sum(case when embedding is null then 1 else 0 end)::bigint
@@ -3009,16 +3022,21 @@ with planted as (
          sum(case when embedding is not null and len(embedding) <> 64
              then 1 else 0 end)::bigint as n_wrong_dim,
          sum(case when embedding is not null and
-             len(list_filter(embedding, x -> isnan(x))) > 0
+             len(list_filter(embedding, x -> x is null)) > 0
+             then 1 else 0 end)::bigint as n_null_elem,
+         sum(case when embedding is not null and
+             len(list_filter(embedding,
+                             x -> x is not null and isnan(x))) > 0
              then 1 else 0 end)::bigint as n_nan,
          sum(case when embedding is not null and
+             len(list_filter(embedding, x -> x is null)) = 0 and
              len(list_filter(embedding, x -> x <> 0.0)) = 0
              then 1 else 0 end)::bigint as n_zero
   from planted
 )
-select n_rows, n_null_vec, n_wrong_dim, n_nan, n_zero,
-       (n_null_vec = 0 and n_wrong_dim = 0 and n_nan = 0
-        and n_zero = 0) as ok
+select n_rows, n_null_vec, n_wrong_dim, n_null_elem, n_nan, n_zero,
+       (n_null_vec = 0 and n_wrong_dim = 0 and n_null_elem = 0
+        and n_nan = 0 and n_zero = 0) as ok
 from a
 """
 

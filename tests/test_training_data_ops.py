@@ -991,6 +991,16 @@ def test_transition_latency_profile_exact_quantiles(spark):
     assert got[("a", "b")] == (3, 15, 4, 10, 10)
     assert got[("b", "a")] == (1, 20, 20, 20, 20)
     assert set(got) == {("a", "b"), ("b", "a")}
+    # contract: NULL ts / NULL tiebreak rows are dropped BEFORE the
+    # lag window (engines disagree on NULL sort position), so adding
+    # them changes nothing
+    with_nulls = df.union(spark.createDataFrame(
+        [(99, 1, "c", None), (None, 1, "c", datetime(2026, 1, 1, 0, 5))],
+        "event_id long, user_id long, event_type string, ts timestamp"))
+    got2 = {(r.prev_type, r.next_type):
+            (r.n_gaps, r.total_gap_s, r.p50, r.p90, r.p99)
+            for r in transition_latency_profile(with_nulls).collect()}
+    assert got2 == got
 
 
 def test_c4_line_clean_rules(spark):
@@ -1067,11 +1077,14 @@ def test_embedding_audit_counts(spark):
         (3, [1.0]),                  # wrong dim
         (4, [float("nan"), 1.0]),    # nan
         (5, [0.0, 0.0]),             # zero vector
+        (6, [None, 1.0]),            # NULL element (poisons dots)
+        (7, [None, 0.0]),            # NULL element + zeros: NOT zero
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     r = embedding_audit(df, expected_dim=2).collect()[0]
-    assert (r.n_rows, r.n_null_vec, r.n_wrong_dim, r.n_nan, r.n_zero,
-            r.ok) == (5, 1, 1, 1, 1, False)
+    assert (r.n_rows, r.n_null_vec, r.n_wrong_dim, r.n_null_elem,
+            r.n_nan, r.n_zero,
+            r.ok) == (7, 1, 1, 2, 1, 1, False)
     clean = spark.createDataFrame([(1, [1.0, 2.0])],
                                   "vec_id long, embedding array<float>")
     assert embedding_audit(clean, expected_dim=2).collect()[0].ok is True
@@ -1158,3 +1171,33 @@ def test_fixed_size_sample_exact_k_and_determinism(spark):
         != {t[2] for t in again if t[0] == "big"}
     with pytest.raises(ValueError):
         fixed_size_sample(df, k=0)
+
+
+def test_fixed_size_sample_empty_stratum_fails_loudly(spark):
+    """An undershoot where the hash-threshold prune leaves a stratum
+    with ZERO candidates must raise, not silently drop the stratum
+    (the guard is driven from the full stratum set, not from the
+    ranked rows).  Construct it deterministically: with k=1, n=5 the
+    threshold is 0.8 * HEXMAX, so pick five ids whose md5 prefix all
+    land in the top ~19% of the hash space."""
+    import hashlib
+    from batukh_spark.operators.sampling import fixed_size_sample
+    HEXMAX = 16 ** 15
+    bad_ids = []
+    i = 0
+    while len(bad_ids) < 5:
+        h = hashlib.md5(f"\x1fs\x1f{i}".encode()).hexdigest()
+        if int(h[:15], 16) > int(0.81 * HEXMAX):
+            bad_ids.append(i)
+        i += 1
+    df = spark.createDataFrame([(j, "s") for j in bad_ids],
+                               "doc_id long, source string")
+    with pytest.raises(Exception, match="undershoot"):
+        fixed_size_sample(df, k=1).collect()
+    # sanity: with a healthy stratum alongside, the guard still fires
+    # (the empty stratum cannot hide behind the healthy one)
+    df2 = df.union(spark.createDataFrame(
+        [(9000 + j, "ok") for j in range(50)],
+        "doc_id long, source string"))
+    with pytest.raises(Exception, match="undershoot"):
+        fixed_size_sample(df2, k=1).collect()
