@@ -47,12 +47,15 @@ def main(argv=None) -> int:
                    help="local[N] cores (ignored on a real cluster)")
     p.add_argument("--job",
                    choices=["extract", "mix", "batches", "convdocs",
-                            "sft", "audit"],
+                            "sft", "audit", "semdedup"],
                    default="extract",
                    help="extract (default) | mix (training-chunk rows "
                         "from an extraction output) | batches (packed "
                         "fixed-length training rows) | convdocs (one "
-                        "role-tagged training document per conversation)")
+                        "role-tagged training document per conversation) "
+                        "| semdedup (SemDeDup keep/drop verdicts over an "
+                        "embeddings table: --input has vec_id + "
+                        "embedding columns)")
     p.add_argument("--rates", default="{}",
                    help='JSON lang->sampling-rate for the mix, e.g. '
                         '\'{"en": 0.5}\'')
@@ -66,6 +69,10 @@ def main(argv=None) -> int:
                         "when given, the mix decontaminates against it")
     p.add_argument("--split-weights", default='{"train": 0.9, "val": 0.05, "test": 0.05}',
                    help="JSON split->weight for --job sft")
+    p.add_argument("--dim", type=int, default=64,
+                   help="embedding dimensionality for --job semdedup")
+    p.add_argument("--threshold", type=float, default=0.9,
+                   help="cosine near-dup threshold for --job semdedup")
     p.add_argument("--keep-unknown-lang", action="store_true",
                    help="keep docs with no language verdict (bucketed "
                         "under the 'und' stratum) instead of dropping "
@@ -140,6 +147,32 @@ def _run_training_job(spark, args) -> dict:
         n_flagged = written.where(~F.col("ok")).count()
         return {"job": args.job, "rows_out": n_rows,
                 "convs_flagged": n_flagged,
+                "wall_s": time.time() - t0}
+    if args.job == "semdedup":
+        # SemDeDup over an embedding table: pre-flight contract audit
+        # first (NULL/NaN/zero/wrong-dim vectors silently corrupt the
+        # cosine math downstream — fail BEFORE committing cluster
+        # time), then the keep/drop verdict.  Reason counts come from
+        # the WRITTEN verdict table (small), not a corpus re-run.
+        from batukh_spark.operators.similarity import (
+            embedding_audit, embedding_keep_set)
+        audit = embedding_audit(ext, expected_dim=args.dim).collect()[0]
+        if not audit.ok:
+            raise SystemExit(
+                f"semdedup: embedding contract audit failed: "
+                f"{audit.asDict()} — clean the table first")
+        out = embedding_keep_set(ext, dim=args.dim,
+                                 threshold=args.threshold)
+        n_rows = _write_table(spark, out, args.output)
+        written = _read_table(spark, args.output)
+        by_reason = {r["reason"]: r["n"] for r in
+                     written.groupBy("reason")
+                     .agg(F.count(F.lit(1)).alias("n")).collect()}
+        return {"job": args.job, "rows_out": n_rows,
+                "n_vectors": int(audit.n_rows),
+                "kept": by_reason.get("unique", 0),
+                "exact_dup": by_reason.get("exact_dup", 0),
+                "near_dup": by_reason.get("near_dup", 0),
                 "wall_s": time.time() - t0}
     if args.job == "convdocs":
         from batukh_spark.operators.conversations import (

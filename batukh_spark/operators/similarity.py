@@ -466,3 +466,71 @@ def embedding_audit(emb: DataFrame, expected_dim: int,
     return out.select("n_rows", "n_null_vec", "n_wrong_dim",
                       "n_null_elem", "n_nan",
                       "n_zero", ok.alias("ok"))
+
+
+def embedding_keep_set(emb: DataFrame, n_bits: int = 32,
+                       n_bands: int = 4, dim: int = 64,
+                       threshold: float = 0.9, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style per-vector corpus verdict — the embedding-
+    granularity twin of the text `dedup.keep_set`, the artifact a
+    semantic-dedup pass actually consumes.  Returns (vec_id, keep,
+    reason) with reason in {unique, exact_dup, near_dup}:
+
+      exact_dup  a vector identical at micro-unit resolution
+                 (round(x * 1e6) per component — the same integer
+                 quantization the deterministic k-means trains on)
+                 with a smaller id exists (dropped);
+      near_dup   member of a cosine-verified SRP-LSH connected
+                 component (cos > threshold) and not its min-id
+                 keeper (dropped);
+      unique     kept (including the one keeper per near-dup cluster).
+
+    Precedence: exact_dup > near_dup (an exact twin has a byte-
+    identical SRP signature and cosine 1.0 with its rep, so it is
+    always also a near-dup pair; the cluster keeper is never itself
+    an exact dup).
+
+    Like the reference's duplicate-line suppression this keeps ONE
+    representative per equivalence class rather than dropping the
+    whole class (/root/reference/batukh/torch/utils/ocr.py — CTC
+    merge-repeated keeps the first of each run).
+
+    Scale (the SemDeDup shape at 10^9 vectors): exact grouping is one
+    hash+id shuffle; exact-dup groups collapse to their min-id
+    REPRESENTATIVE before the LSH chain (identical vectors have
+    identical signatures, so components over reps == components over
+    all vectors restricted, and a component's min id is always a
+    rep — verdicts are IDENTICAL to running LSH over the full corpus
+    while the band self-join and cluster propagation see one vector
+    per distinct embedding); candidate generation is bucketed
+    (srp_candidate_pairs — never all-pairs); the verify join ships
+    vectors for candidates only; min-label propagation shuffles only
+    the candidate-graph edges.  Degenerate vectors (NULL / NaN / zero)
+    should be audited out first via `embedding_audit` — a zero vector
+    has undefined cosine and never verifies as near_dup."""
+    from batukh_spark.operators.dedup import resolve_clusters
+    vec_hash = F.md5(F.array_join(
+        F.transform(quantized(F.col(vec_col)),
+                    lambda x: x.cast("string")), ","))
+    hashes = emb.select(F.col(id_col), vec_hash.alias("__vh"))
+    exact = hashes.groupBy("__vh").agg(F.min(id_col).alias("keep_id"))
+    with_exact = hashes.join(exact, "__vh") \
+        .select(F.col(id_col), F.col("keep_id"))
+    reps = emb.join(exact.select(F.col("keep_id").alias(id_col)),
+                    id_col, "left_semi")
+    pairs = (srp_near_dup_pairs(reps, n_bits=n_bits, n_bands=n_bands,
+                                dim=dim, threshold=threshold,
+                                id_col=id_col, vec_col=vec_col)
+             .where(F.col("is_near_dup"))
+             .select("id_a", "id_b"))
+    clusters = resolve_clusters(pairs) \
+        .select(F.col("doc_id").alias("__cid"), F.col("cluster_id"))
+    reason = (F.when(F.col(id_col) != F.col("keep_id"), "exact_dup")
+              .when(F.col("cluster_id").isNotNull()
+                    & (F.col(id_col) != F.col("cluster_id")), "near_dup")
+              .otherwise("unique"))
+    return (with_exact
+            .join(clusters, F.col(id_col) == F.col("__cid"), "left")
+            .select(F.col(id_col), (reason == "unique").alias("keep"),
+                    reason.alias("reason")))

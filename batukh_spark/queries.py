@@ -1066,6 +1066,98 @@ left join cand c on t.id_a = c.id_a and t.id_b = c.id_b
 """
 
 
+def embedding_keep_set_q(spark, sf):
+    """SemDeDup-style per-vector verdict (vec_id, keep, reason) over
+    the embeddings corpus augmented with planted EXACT twins (vec_id %
+    17 == 0 copied verbatim at +1000000) and planted NEAR twins
+    (vec_id < 100 perturbed component-wise at +2000000, cos ~0.98-
+    0.995 — the raw corpus has no natural pairs above 0.52, so the
+    augmentation exercises both drop reasons and the exact_dup >
+    near_dup precedence: an exact copy is band-identical to its rep
+    and always also a near-dup pair).  Bucketed SRP-LSH candidates,
+    cosine verify on candidates only, min-label cluster propagation —
+    never all-pairs (similarity.embedding_keep_set)."""
+    emb = t_spread(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    vid = F.col("vec_id")
+    exact_twins = emb.filter(vid % 17 == 0).select(
+        (vid + 1000000).alias("vec_id"), "e")
+    eps = F.element_at(F.array(F.lit(0.1), F.lit(0.15), F.lit(0.2)),
+                       (vid % 3 + 1).cast("int"))
+
+    def tsign(i):
+        h = F.md5(F.concat(F.lit("t:"), vid.cast("string"),
+                           F.lit(":"), i.cast("string")))
+        return F.when(F.substring(h, 1, 1).isin(*"89abcdef"),
+                      F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    near_twins = (emb.filter(vid < 100)
+                  .select((vid + 2000000).alias("tid"),
+                          F.transform("e", lambda x, i:
+                                      x * (1 + eps * tsign(i)))
+                          .alias("e"))
+                  .select(F.col("tid").alias("vec_id"), "e"))
+    aug = emb.unionByName(exact_twins).unionByName(near_twins)
+    return similarity.embedding_keep_set(aug, vec_col="e")
+
+
+EMBEDDING_KEEP_SET_SQL = f"""
+with recursive e0 as (
+  select vec_id, embedding::double[] as e from embeddings
+), tw as (
+  select vec_id + 2000000 as tid,
+         list_transform(generate_series(1, 64), i ->
+           e[i] * (1 + ([0.1, 0.15, 0.2])[(vec_id % 3)::int + 1] *
+             (case when substr(md5('t:' || vec_id::varchar || ':'
+                                    || (i-1)::varchar), 1, 1)
+                   in ('8','9','a','b','c','d','e','f')
+              then 1.0 else -1.0 end))) as e
+  from e0 where vec_id < 100
+), e as (
+  select vec_id, e from e0
+  union all
+  select vec_id + 1000000, e from e0 where vec_id % 17 = 0
+  union all
+  select tid as vec_id, e from tw
+),
+{_srp_band_cte('e')}
+, ver as (
+  select c.id_a, c.id_b
+  from cand c
+  join e a on a.vec_id = c.id_a
+  join e b on b.vec_id = c.id_b
+  where round({_sql_cos('a.e', 'b.e')}, 6) > 0.9
+), edges as (
+  select id_a as src, id_b as dst from ver
+  union
+  select id_b, id_a from ver
+), reach(id, lab) as (
+  select src, src from edges
+  union
+  select g.src, r.lab from edges g join reach r on r.id = g.dst
+), clusters as (
+  select id as vec_id, min(lab) as cluster_id from reach group by id
+), hashes as (
+  select vec_id,
+         md5(array_to_string(list_transform(e,
+               x -> (round(x * 1e6)::bigint)::varchar), ',')) as vh
+  from e
+), exact as (
+  select vh, min(vec_id) as keep_id from hashes group by 1
+), verdict as (
+  select h.vec_id,
+         case when h.vec_id <> x.keep_id then 'exact_dup'
+              when c.cluster_id is not null
+                   and h.vec_id <> c.cluster_id then 'near_dup'
+              else 'unique' end as reason
+  from hashes h
+  join exact x using (vh)
+  left join clusters c using (vec_id)
+)
+select vec_id, reason = 'unique' as keep, reason from verdict
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -4053,6 +4145,8 @@ QUERIES = {
     "extract_transcripts": (extract_transcripts, EXTRACT_TRANSCRIPTS_SQL),
     "html_block_kinds": (html_block_kinds, HTML_BLOCK_KINDS_SQL),
     "pdf_xycut_lines": (pdf_xycut_lines, PDF_XYCUT_SQL),
+    # round-6 additions
+    "embedding_keep_set": (embedding_keep_set_q, EMBEDDING_KEEP_SET_SQL),
     # conversation / SFT training-data layer
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
     "loss_mask_spans": (loss_mask_spans_q, LOSS_MASK_SPANS_SQL),

@@ -139,3 +139,59 @@ def test_cli_audit_job(tmp_path):
         f"select count(*) from read_parquet('{audit}/*.parquet') "
         f"where ok").fetchone()[0]
     assert n_ok == n_convs
+
+
+def test_cli_semdedup(tmp_path):
+    """SemDeDup CLI job over an embeddings table with planted exact
+    twins; written verdicts verified with DuckDB."""
+    src = str(tmp_path / "emb.parquet")
+    out = str(tmp_path / "verdicts")
+    con = duckdb.connect()
+    base = "/root/testdata/sf0.001/embeddings.parquet"
+    con.execute(f"""
+        copy (
+          select vec_id, embedding from read_parquet('{base}')
+          where vec_id < 100
+          union all
+          select vec_id + 1000, embedding from read_parquet('{base}')
+          where vec_id < 5
+        ) to '{src}' (format parquet)
+    """)
+    s = _run(["--job", "semdedup", "--input", src, "--output", out,
+              "--parallelism", "8"])
+    assert s["n_vectors"] == 105 and s["rows_out"] == 105
+    # raw corpus has no natural pairs above cos 0.52, so the 5 planted
+    # copies are the only dups and they fall on the exact_dup reason
+    assert (s["kept"], s["exact_dup"], s["near_dup"]) == (100, 5, 0)
+    rows = con.execute(
+        f"select reason, count(*) from read_parquet('{out}/*.parquet') "
+        f"group by 1 order by 1").fetchall()
+    assert dict(rows) == {"exact_dup": 5, "unique": 100}
+    dropped = {r[0] for r in con.execute(
+        f"select vec_id from read_parquet('{out}/*.parquet') "
+        f"where not keep").fetchall()}
+    assert dropped == {1000, 1001, 1002, 1003, 1004}
+
+
+def test_cli_semdedup_audit_gate(tmp_path):
+    """A dirty embedding table (planted NULL vector) must fail the
+    pre-flight audit with a nonzero exit, writing nothing."""
+    src = str(tmp_path / "emb.parquet")
+    out = str(tmp_path / "verdicts")
+    base = "/root/testdata/sf0.001/embeddings.parquet"
+    duckdb.connect().execute(f"""
+        copy (
+          select vec_id, embedding from read_parquet('{base}')
+          where vec_id < 50
+          union all
+          select 9999::bigint as vec_id, null::float[] as embedding
+        ) to '{src}' (format parquet)
+    """)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "batukh_spark.cli", "--job", "semdedup",
+         "--input", src, "--output", out, "--parallelism", "8"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert r.returncode != 0
+    assert "contract audit failed" in r.stderr
+    assert not os.path.exists(out)

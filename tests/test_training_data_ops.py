@@ -1201,3 +1201,37 @@ def test_fixed_size_sample_empty_stratum_fails_loudly(spark):
         "doc_id long, source string"))
     with pytest.raises(Exception, match="undershoot"):
         fixed_size_sample(df2, k=1).collect()
+
+
+def test_embedding_keep_set_verdicts(spark):
+    """Tiny planted corpus: exact copy -> exact_dup, same-direction
+    scaled vector -> near_dup (cos 1.0, different bytes), orthogonal
+    vector -> unique; the cluster keeper stays unique."""
+    from batukh_spark.operators.similarity import embedding_keep_set
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [1.0, 2.0, 3.0, 4.0]),          # exact copy of 0
+        (2, [1.1, 2.2, 3.3, 4.4]),          # scaled: cos 1.0, not exact
+        (3, [-4.0, 3.0, -2.0, 1.0]),        # unrelated direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.keep, r.reason)
+           for r in embedding_keep_set(df, n_bits=8, n_bands=2,
+                                       dim=4).collect()}
+    assert got[0] == (True, "unique")
+    assert got[1] == (False, "exact_dup")
+    assert got[2] == (False, "near_dup")
+    assert got[3] == (True, "unique")
+
+
+def test_embedding_keep_set_plan_is_bucketed(spark):
+    """The candidate stage must stay bucketed — no cartesian product
+    or nested-loop join anywhere in the plan."""
+    from batukh_spark.operators.similarity import embedding_keep_set
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    p = embedding_keep_set(emb, n_bits=8, n_bands=2, dim=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
