@@ -1158,6 +1158,131 @@ select vec_id, reason = 'unique' as keep, reason from verdict
 """
 
 
+# bump whenever the IVF-PQ training code or hyperparameters change
+_IVF_PQ_CACHE_VER = "v1_k8_m8_ks16_i2_d64"
+
+
+def _ivf_pq_index_dir(sf: str) -> str:
+    import os
+    st = os.stat(f"{sf}/embeddings.parquet")
+    base = os.path.basename(os.path.normpath(sf))
+    return (f"/tmp/batukh_ivfpq_{_IVF_PQ_CACHE_VER}_{base}_"
+            f"{st.st_size}_{int(st.st_mtime)}")
+
+
+def ivf_pq_topk_q(spark, sf):
+    """ANN quality gate for the IVF-PQ serving path: recall@10 of the
+    integer distance-table ADC ranking (nprobe=3, m=8 sub-spaces x 16
+    codes) vs brute-force cosine top-k for vec_id=0.  Train/serve
+    split: the PQ index (coarse codebook + m sub-codebooks + 8-byte
+    codes, cluster-partitioned) is trained once per corpus by
+    `train_ivf_pq`; the query path reads ONLY (vec_id, code) from the
+    probed partitions — no join, no aggregation, no vector shuffle."""
+    import os
+    emb = t(spark, sf, "embeddings")
+    idx = _ivf_pq_index_dir(sf)
+    if not os.path.exists(f"{idx}/vectors/_SUCCESS"):
+        tmp = f"{idx}.train{os.getpid()}"
+        similarity.train_ivf_pq(emb, tmp)
+        try:
+            os.rename(tmp, idx)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(f"{idx}/vectors/_SUCCESS"):
+                raise
+    brute = similarity.cosine_topk(emb, query_id=0, k=10).select("vec_id")
+    pq = similarity.ivf_pq_topk(spark, idx, query_id=0, k=10,
+                                nprobe=3).select("vec_id")
+    return (brute.join(pq, "vec_id")
+            .agg((F.count(F.lit(1)) / 10.0).alias("recall_at_10")))
+
+
+def _pq_cte(m: int = 8, ks: int = 16, iters: int = 2,
+            dim: int = 64) -> str:
+    """CTE chain replicating train_ivf_pq + the ivf_pq_topk distance
+    tables: the coarse _kmeans_cte chain (qe/c0..cN/assign), then per
+    sub-space j a prefixed k-means chain over the quantized sub-slice
+    (qe{j}/p{j}c0..p{j}cN), the per-vector code{j} argmax assignment,
+    and the query's integer distance table dt{j} (exact bigint dot of
+    the quantized query sub-vector with each rounded sub-centroid)."""
+    dsub = dim // m
+    parts = [_kmeans_cte(iters=iters, k=8, dim=dim).split("with ", 1)[1]]
+    for j in range(m):
+        off = j * dsub
+        parts.append(f"""qe{j} as (
+  select vec_id,
+         list_transform((embedding::double[])[{off + 1}:{off + dsub}],
+                        x -> round(x * 1e6)::bigint) as q,
+         list_transform((embedding::double[])[{off + 1}:{off + dsub}],
+                        x -> round(x * 1e6)::bigint::double) as qd
+  from embeddings
+), p{j}c0 as (
+  select list(qd order by vec_id) as cv from qe{j} where vec_id < {ks}
+)""")
+        for it in range(1, iters + 1):
+            parts.append(f"""p{j}a{it} as (
+  select vec_id, q, list_position(sims, list_max(sims)) - 1 as cluster
+  from (select vec_id, q,
+               list_transform(cv, c -> {_sql_cos('qd', 'c', dsub)})
+                 as sims
+        from qe{j} cross join p{j}c{it - 1})
+), p{j}c{it} as (
+  select list(cvec order by cluster) as cv from (
+    select cluster,
+           list_transform(generate_series(1, {dsub}),
+             d -> list_sum(list_transform(ms, m -> m[d]))::double / n)
+             as cvec
+    from (select cluster, list(q) as ms, count(*) as n
+          from p{j}a{it} group by cluster))
+)""")
+        parts.append(f"""code{j} as (
+  select vec_id, list_position(sims, list_max(sims)) - 1 as code
+  from (select vec_id,
+               list_transform(cv, c -> {_sql_cos('qd', 'c', dsub)})
+                 as sims
+        from qe{j} cross join p{j}c{iters})
+), dt{j} as (
+  select list_transform(cv, c ->
+           list_sum(list_transform(generate_series(1, {dsub}),
+             i -> q[i] * round(c[i])::bigint))::bigint) as dt
+  from (select q from qe{j} where vec_id = 0) cross join p{j}c{iters}
+)""")
+    return "with " + ", ".join(parts)
+
+
+IVF_PQ_TOPK_SQL = _pq_cte() + """
+, e as (select vec_id, embedding::double[] as ev from embeddings)
+, brute as (
+  select e.vec_id from e cross join
+       (select ev as qv from e where vec_id = 0) q
+  where e.vec_id <> 0
+  order by """ + _sql_cos("ev", "qv") + """ desc, e.vec_id asc limit 10
+), probes as (
+  select i - 1 as cluster
+  from (select list_transform(cv, c -> """ + _sql_cos("qd", "c") + """)
+               as sims
+        from (select qd from qe where vec_id = 0) cross join c2),
+       unnest(generate_series(1, 8)) as t(i)
+  order by sims[i] desc, i asc limit 3
+), pqscore as (
+  select a.vec_id,
+         (""" + " + ".join(f"dt{j}.dt[code{j}.code + 1]"
+                           for j in range(8)) + """)::bigint as score
+  from assign a
+  join probes using (cluster)
+""" + "\n".join(f"  join code{j} on code{j}.vec_id = a.vec_id"
+                for j in range(8)) + """
+""" + "\n".join(f"  cross join dt{j}" for j in range(8)) + """
+  where a.vec_id <> 0
+), pqtop as (
+  select vec_id from pqscore order by score desc, vec_id asc limit 10
+)
+select count(*)::double / 10 as recall_at_10
+from brute join pqtop using (vec_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -4147,6 +4272,7 @@ QUERIES = {
     "pdf_xycut_lines": (pdf_xycut_lines, PDF_XYCUT_SQL),
     # round-6 additions
     "embedding_keep_set": (embedding_keep_set_q, EMBEDDING_KEEP_SET_SQL),
+    "ivf_pq_topk": (ivf_pq_topk_q, IVF_PQ_TOPK_SQL),
     # conversation / SFT training-data layer
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
     "loss_mask_spans": (loss_mask_spans_q, LOSS_MASK_SPANS_SQL),

@@ -412,3 +412,34 @@ def test_hard_negatives_plan_broadcasts_anchors(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_pq_exact_copy_found(emb, tmp_path):
+    """The planted exact copy (vec 30 == vec 9) has identical codes in
+    every sub-space, so its integer ADC score is the maximum possible
+    — it must rank first within the probed clusters."""
+    idx = str(tmp_path / "pq_index")
+    similarity.train_ivf_pq(emb, idx, m=4, ks=8, dim=8)
+    got = similarity.ivf_pq_topk(emb.sparkSession, idx,
+                                 query_id=9, k=3).collect()
+    assert got[0].vec_id == 30
+
+
+def test_ivf_pq_serving_plan_is_lookup_only(emb, tmp_path):
+    """IVF-PQ serving must be pure integer table lookup: no Lloyd
+    rounds, no aggregation, no join anywhere in the plan; top-k is
+    TakeOrderedAndProject; the scan partition-prunes on cluster and
+    column-prunes the stored raw vectors away (only vec_id + code are
+    read)."""
+    idx = str(tmp_path / "pq_index2")
+    similarity.train_ivf_pq(emb, idx, m=4, ks=8, dim=8)
+    df = similarity.ivf_pq_topk(emb.sparkSession, idx, query_id=9, k=3)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in optimized
+    assert "Join" not in optimized
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in physical
+    assert "PartitionFilters" in physical
+    assert "cluster" in physical.split("PartitionFilters", 1)[1][:200]
+    read_schema = physical.split("ReadSchema", 1)[1][:200]
+    assert "code" in read_schema and "embedding" not in read_schema
