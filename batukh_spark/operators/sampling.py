@@ -55,7 +55,8 @@ def token_budget_sample(docs: DataFrame, budget: int,
                         strata_col: str = "lang",
                         tokens_col: str = "n_tokens",
                         id_col: str = "doc_id",
-                        salt: str = "budget1") -> DataFrame:
+                        salt: str = "budget1",
+                        token_scale: int | None = None) -> DataFrame:
     """Exact per-stratum token-budget sampling: walk each stratum's
     documents in deterministic hash order and keep them until the
     stratum's cumulative token count reaches `budget` (the document
@@ -97,8 +98,14 @@ def token_budget_sample(docs: DataFrame, budget: int,
         raise ValueError(f"budget must be positive, got {budget}")
     spark = docs.sparkSession
     h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    # optional ppm calibration (text.apply_token_scale): with
+    # token_scale set, per-doc counts — and therefore `budget` and the
+    # returned tokens/tokens_before — are in calibrated units
+    from batukh_spark.operators.text import apply_token_scale
     slim = docs.select(F.col(strata_col).alias("__s"), F.col(id_col),
-                       F.col(tokens_col).cast("long").alias("__n"),
+                       apply_token_scale(
+                           F.col(tokens_col).cast("long"), token_scale)
+                       .alias("__n"),
                        h.alias("__h"))
     n_parts = spark.sparkContext.defaultParallelism
     ordered = (slim.repartitionByRange(n_parts, "__s", "__h", id_col)

@@ -17,6 +17,34 @@ def tokens_col(text: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
 
 
+def apply_token_scale(n: Column, token_scale: int | None) -> Column:
+    """Calibrated token accounting: scale a proxy-token count by an
+    integer ppm factor — calibrated = (n * token_scale) div 1e6,
+    where token_scale is e.g. `bpe_per_tok_ppm` from
+    `textstats.calibrate_token_scale` (1_000_000 = identity).
+
+    Exactness: the multiply and floor-divide run in decimal(38,0) —
+    never through a double — so the result is bit-identical to
+    DuckDB's bigint `(n * ppm) // 1000000` for every representable
+    count (a double path silently loses integer precision once
+    n * ppm exceeds 2^53).
+
+    Accuracy contract (documented proxy error band): a single linear
+    per-domain factor corrects AGGREGATE counts (budget totals,
+    corpus profiles) to the target tokenizer's scale; per-document
+    estimates inherit the domain's ratio spread — on natural web text
+    the per-doc bpe/ws ratio typically varies ±10-20% around the
+    domain mean (the templated synthetic test corpus shows ~0%), so
+    treat per-doc calibrated counts as estimates, not guarantees."""
+    if token_scale is None:
+        return n
+    if not (isinstance(token_scale, int) and token_scale > 0):
+        raise ValueError(f"token_scale must be a positive int ppm "
+                         f"factor or None, got {token_scale!r}")
+    num = n.cast("decimal(38,0)") * F.lit(token_scale)
+    return F.floor(num / F.lit(1000000)).cast("long")
+
+
 def word_shingles(tokens: Column, k: int = 3) -> Column:
     """k-word shingle strings; empty array when fewer than k tokens.
 
@@ -38,13 +66,20 @@ def word_shingles(tokens: Column, k: int = 3) -> Column:
 
 def chunk_documents(docs, max_tokens: int = 64, overlap: int = 8,
                     id_col: str = "doc_id", text_col: str = "text",
-                    max_doc_tokens: int = 1_000_000):
+                    max_doc_tokens: int = 1_000_000,
+                    token_scale: int | None = None):
     """Split documents into overlapping token-window chunks — the
     context-window preparation step of a training pipeline.  Returns
     one row per chunk: (id, chunk_idx, n_tokens, chunk_text), where
     chunk i covers canonical whitespace tokens
     [i*stride, i*stride + max_tokens) with stride = max_tokens -
     overlap; chunk_text is the space-joined canonical form.
+
+    `token_scale` (optional int ppm, see `apply_token_scale`):
+    calibrates the REPORTED n_tokens to a target tokenizer's scale
+    (e.g. bpe_per_tok_ppm from `textstats.calibrate_token_scale`);
+    chunk boundaries stay defined in proxy whitespace tokens — only
+    the accounting column is scaled.
 
     Scan-local fan-out (inline over a per-row struct array): no
     shuffle, parallelism follows the scan, output rows ~ n_tokens /
@@ -105,8 +140,9 @@ def chunk_documents(docs, max_tokens: int = 64, overlap: int = 8,
         .otherwise(F.array().cast("array<int>"))
     arr = F.transform(seq, lambda i: F.struct(
         i.cast("long").alias("chunk_idx"),
-        F.least(F.lit(max_tokens), n - i * stride).cast("long")
-        .alias("n_tokens"),
+        apply_token_scale(
+            F.least(F.lit(max_tokens), n - i * stride).cast("long"),
+            token_scale).alias("n_tokens"),
         F.concat_ws(" ", F.slice(toks, i * stride + 1, max_tokens))
         .alias("chunk_text")))
     return base.select(F.col(id_col), F.inline(arr))
@@ -156,7 +192,8 @@ def redact_pii(docs, id_col: str = "doc_id", text_col: str = "text"):
 
 def pack_sequences(chunks, seq_len: int = 256,
                    doc_col: str = "doc_id", idx_col: str = "chunk_idx",
-                   ntok_col: str = "n_tokens"):
+                   ntok_col: str = "n_tokens",
+                   token_scale: int | None = None):
     """Pack chunks into fixed-length training sequences — the step
     right after `chunk_documents` in a pretraining pipeline.  Uses
     concat-and-split semantics (the standard GPT-style packing): all
@@ -189,9 +226,13 @@ def pack_sequences(chunks, seq_len: int = 256,
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     spark = chunks.sparkSession
+    # optional ppm calibration of each chunk's count BEFORE packing:
+    # with token_scale set, seq_len and all emitted positions are in
+    # calibrated (target-tokenizer-estimate) units
     slim = (chunks
             .select(F.col(doc_col), F.col(idx_col),
-                    F.col(ntok_col).cast("long").alias("__n"))
+                    apply_token_scale(F.col(ntok_col).cast("long"),
+                                      token_scale).alias("__n"))
             .filter(F.col("__n") > 0))
     n_parts = spark.sparkContext.defaultParallelism
     ordered = (slim.repartitionByRange(n_parts, doc_col, idx_col)

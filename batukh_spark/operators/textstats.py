@@ -722,7 +722,8 @@ def vocab_coverage(docs: DataFrame, vocab: DataFrame,
 
 def token_length_profile(docs: DataFrame, qs=(25, 50, 75, 90, 99),
                          domain_col: str = "source",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         token_scale=None) -> DataFrame:
     """Per-domain token-length distribution profile with EXACT
     quantiles — the corpus health report that sizes context windows,
     spots truncated/exploded sources, and feeds the chunking/packing
@@ -740,12 +741,35 @@ def token_length_profile(docs: DataFrame, qs=(25, 50, 75, 90, 99),
     shuffle, carrying three longs per distinct (domain, length).
     Every window after that runs on the histogram, which is bounded
     by |domains| x |distinct lengths| (thousands of rows at any
-    corpus size), the same small-table class as the IVF codebook."""
+    corpus size), the same small-table class as the IVF codebook.
+
+    `token_scale` (optional): an int ppm factor, or a {domain: ppm}
+    dict (e.g. collected from `calibrate_token_scale` — the k-row
+    planning-collect class), applied per document BEFORE the
+    histogram so lengths and quantiles read in calibrated
+    target-tokenizer units; a domain missing from the dict keeps its
+    raw proxy counts (identity).  See text.apply_token_scale for the
+    exactness and error-band contract."""
     from pyspark.sql import Window
-    from batukh_spark.operators.text import tokens_col
-    lens = docs.select(F.col(domain_col).alias("__d"),
-                       F.size(tokens_col(text_col)).cast("long")
-                       .alias("__len"))
+    from batukh_spark.operators.text import apply_token_scale, tokens_col
+    # stage the raw proxy length into its own column first: the
+    # per-domain branches below each reference it, and only a staged
+    # attribute guarantees the tokenize tree is evaluated once
+    pre = docs.select(F.col(domain_col).alias("__d"),
+                      F.size(tokens_col(text_col)).cast("long")
+                      .alias("__raw"))
+    raw = F.col("__raw")
+    if isinstance(token_scale, dict):
+        # chained per-domain scaling, identity for unlisted domains —
+        # a handful of literal branches, stays in codegen
+        scaled = raw
+        for d in sorted(token_scale):
+            scaled = F.when(F.col("__d") == d,
+                            apply_token_scale(raw, int(token_scale[d]))) \
+                .otherwise(scaled)
+    else:
+        scaled = apply_token_scale(raw, token_scale)
+    lens = pre.select("__d", scaled.alias("__len"))
     hist = lens.groupBy("__d", "__len").agg(
         F.count(F.lit(1)).alias("__cnt"))
     w = (Window.partitionBy("__d").orderBy("__len")
@@ -1018,3 +1042,58 @@ with qctoks as (
 )
 select doc_id, score, score >= {threshold} as keep from s
 """
+
+
+def calibrate_token_scale(docs: DataFrame, k: int = 10,
+                          domain_col: str = "source",
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          salt: str = "cal1") -> DataFrame:
+    """Measure per-domain token-accounting calibration factors from a
+    DETERMINISTIC sample — the bridge between the engine's cheap
+    whitespace-token proxy and a real tokenizer's scale.  Takes
+    exactly min(k, n) documents per domain in md5(salt, domain, id)
+    order (`sampling.fixed_size_sample` — stable under any
+    partitioning, salt draws an independent sample) and returns one
+    row per domain:
+
+      (domain_col, n_sample_docs,
+       chars_per_tok_ppm  = floor(sum_chars * 1e6 / sum_ws_tokens),
+       bpe_per_tok_ppm    = floor(sum_bpe   * 1e6 / sum_ws_tokens))
+
+    Both factors are INTEGER ppm (parts-per-million) so applying them
+    (`text.apply_token_scale`) is exact integer arithmetic in every
+    engine — the same micro-unit quantization trick the k-means
+    codebook uses.  A domain whose sample has zero whitespace tokens
+    gets NULL factors (nothing to calibrate against — the caller
+    decides; apply_token_scale(None) is identity).  n_bpe is the
+    BPE_REGEX pre-tokenization proxy (`token_counts`), not a trained
+    BPE; the error-band contract lives at apply_token_scale.
+
+    Scale: the sample is k docs per domain (hash-threshold pruned
+    scan, see fixed_size_sample), so the measurement cost is
+    O(k * |domains|) documents regardless of corpus size; the factor
+    table is |domains| rows — the broadcast/collect planning class."""
+    from batukh_spark.operators.sampling import fixed_size_sample
+    samp = fixed_size_sample(docs.select(F.col(id_col),
+                                         F.col(domain_col)),
+                             k=k, strata_col=domain_col, salt=salt,
+                             id_col=id_col) \
+        .select(F.col(id_col))
+    sampled = docs.join(samp, id_col, "left_semi")
+    counts = token_counts(sampled, id_col=id_col, text_col=text_col) \
+        .join(docs.select(F.col(id_col), F.col(domain_col)), id_col)
+    agg = counts.groupBy(F.col(domain_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample_docs"),
+        F.sum("n_ws_tokens").cast("long").alias("__ws"),
+        F.sum("n_chars").cast("long").alias("__chars"),
+        F.sum("n_bpe_tokens").cast("long").alias("__bpe"))
+
+    def ppm(num):
+        scaled = num.cast("decimal(38,0)") * F.lit(1000000)
+        return F.when(F.col("__ws") > 0,
+                      F.floor(scaled / F.col("__ws"))
+                      .cast("long"))
+    return agg.select(F.col(domain_col), F.col("n_sample_docs"),
+                      ppm(F.col("__chars")).alias("chars_per_tok_ppm"),
+                      ppm(F.col("__bpe")).alias("bpe_per_tok_ppm"))

