@@ -21,6 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# interleave_domains builds 2*|domains| codegen terms and collects
+# partitions x |domains| planning rows — both fine for mixture keys
+# (tens of domains), both unbounded hazards for id-like columns.
+# Documented bound; the operator fails loudly past it.
+MAX_INTERLEAVE_DOMAINS = 64
+
 
 def _thr_hex(frac: float) -> str:
     """4-hex-char threshold; 'zzzz' sorts above every hex string, so
@@ -335,13 +341,32 @@ def interleave_domains(rows, domain_col: str = "lang",
     global position into a CLOSED FORM —
         global_pos = sum_d' min(rank, n_d') + #{d' < d : n_d' > rank}
     — built as 2*|domains| codegen terms, so the interleave costs no
-    second shuffle and no global sort at all."""
+    second shuffle and no global sort at all.
+
+    Cardinality contract: `domain_col` must be a MIXTURE key (a
+    handful of languages/sources), never a high-cardinality id — the
+    closed form's codegen tree and the planning collect both grow
+    linearly in |domains| (a ~1500-node expression tree is where
+    Catalyst/Janino compile time blows up, measured on the unrolled
+    cosine).  The operator counts distinct domains first (a
+    limit-capped probe, so the check itself stays cheap at any
+    cardinality) and FAILS LOUDLY past MAX_INTERLEAVE_DOMAINS=64
+    instead of silently building an unbounded plan."""
     from pyspark.sql import Window
     spark = rows.sparkSession
     h = F.md5(F.concat(F.lit(f"{salt}{int(epoch)}:"),
                        F.col(id_col).cast("string")))
     slim = rows.select(F.col(id_col), F.col(domain_col).alias("__d"),
                        h.alias("__h"))
+    n_dom = (slim.select("__d").distinct()
+             .limit(MAX_INTERLEAVE_DOMAINS + 1).count())
+    if n_dom > MAX_INTERLEAVE_DOMAINS:
+        raise ValueError(
+            f"interleave_domains: domain column {domain_col!r} has "
+            f"more than MAX_INTERLEAVE_DOMAINS="
+            f"{MAX_INTERLEAVE_DOMAINS} distinct values — this "
+            f"operator round-robins a MIXTURE key, not a "
+            f"high-cardinality id; bucket the domains upstream")
     n_parts = spark.sparkContext.defaultParallelism
     ordered = (slim.repartitionByRange(n_parts, "__d", "__h", id_col)
                .sortWithinPartitions("__d", "__h", id_col)

@@ -1296,3 +1296,19 @@ def test_token_scale_flows_through_operators(spark):
         .collect()
     # calibrated 30 each: first doc alone crosses budget 25
     assert len(out) == 1 and out[0].n_tokens == 30
+
+
+def test_interleave_domains_cardinality_guard(spark):
+    """An id-like domain column must raise the documented bound, not
+    build an unbounded codegen tree + planning collect."""
+    from batukh_spark.operators.sampling import (
+        MAX_INTERLEAVE_DOMAINS, interleave_domains)
+    df = spark.createDataFrame(
+        [(i, f"dom{i}") for i in range(MAX_INTERLEAVE_DOMAINS + 5)],
+        "doc_id long, lang string")
+    with pytest.raises(ValueError, match="MAX_INTERLEAVE_DOMAINS"):
+        interleave_domains(df)
+    # at the bound it still works
+    ok = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(12)], "doc_id long, lang string")
+    assert len(interleave_domains(ok).collect()) == 12
