@@ -85,10 +85,15 @@ BENCH_QUERIES = [
     "corpus_delta", "mix_report", "key_skew_report", "transition_latency",
     "c4_line_clean", "contract_audit", "dedup_lines", "embedding_audit",
     "quality_classifier", "fixed_size_sample",
+    # round-6 additions
+    "embedding_keep_set", "calibrated_token_profile",
 ]
 # srp_recall is excluded: its brute-force TRUTH SET is intentionally
 # all-pairs (it exists to measure the banded path's recall) and runs at
 # the driver's sf0.01 validation scale, not as a throughput benchmark.
+# ivf_pq_topk / ivf_recall_topk are excluded for the same reason: their
+# recall measurement embeds a brute-force truth set plus one-time index
+# training; the serving path they exercise is lookup-only by plan test.
 
 
 def corpus_path() -> str:

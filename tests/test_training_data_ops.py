@@ -1312,3 +1312,25 @@ def test_interleave_domains_cardinality_guard(spark):
     ok = spark.createDataFrame(
         [(i, f"d{i % 3}") for i in range(12)], "doc_id long, lang string")
     assert len(interleave_domains(ok).collect()) == 12
+
+
+def test_quality_classifier_oracle_parity_on_multibyte_text(spark):
+    """The mean-word-length feature must use CHARACTER semantics in
+    both engines: DuckDB strlen() is BYTE length and silently drifts
+    the score on any non-ASCII token (caught by round-5 advice; the
+    ASCII bench corpus cannot see it)."""
+    import duckdb
+    from batukh_spark.operators.textstats import (
+        quality_classifier, quality_classifier_sql)
+    rows = [(1, "der über straße größer schön und die das ist nicht"),
+            (2, "の は を た が で て と し れ"),
+            (3, "plain ascii words only here today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.score, r.keep)
+           for r in quality_classifier(df).collect()}
+    con = duckdb.connect()
+    con.execute("create table documents(doc_id bigint, text varchar)")
+    con.executemany("insert into documents values (?, ?)", rows)
+    want = {r[0]: (r[1], r[2])
+            for r in con.execute(quality_classifier_sql()).fetchall()}
+    assert got == want
