@@ -510,10 +510,8 @@ def embedding_keep_set(emb: DataFrame, n_bits: int = 32,
     should be audited out first via `embedding_audit` — a zero vector
     has undefined cosine and never verifies as near_dup."""
     from batukh_spark.operators.dedup import resolve_clusters
-    vec_hash = F.md5(F.array_join(
-        F.transform(quantized(F.col(vec_col)),
-                    lambda x: x.cast("string")), ","))
-    hashes = emb.select(F.col(id_col), vec_hash.alias("__vh"))
+    hashes = emb.select(F.col(id_col),
+                        vec_hash(F.col(vec_col)).alias("__vh"))
     exact = hashes.groupBy("__vh").agg(F.min(id_col).alias("keep_id"))
     with_exact = hashes.join(exact, "__vh") \
         .select(F.col(id_col), F.col("keep_id"))
@@ -534,6 +532,17 @@ def embedding_keep_set(emb: DataFrame, n_bits: int = 32,
             .join(clusters, F.col(id_col) == F.col("__cid"), "left")
             .select(F.col(id_col), (reason == "unique").alias("keep"),
                     reason.alias("reason")))
+
+
+def vec_hash(v: Column) -> Column:
+    """Canonical identity hash of a vector: md5 over the comma-joined
+    micro-unit-quantized components (the k-means quantization) — so
+    "identical" is defined at 1e-6 resolution, is immune to float32
+    vs float64 round-tripping of the same values, and is reproducible
+    by the SQL oracle (`md5(array_to_string(...round(x*1e6)::bigint
+    ::varchar, ','))`)."""
+    return F.md5(F.array_join(
+        F.transform(quantized(v), lambda x: x.cast("string")), ","))
 
 
 def _round_half_away(x: float) -> int:
@@ -689,3 +698,108 @@ def ivf_pq_topk(spark, index_dir: str, query_id: int, k: int = 10,
             .filter(F.col(id_col) != query_id)
             .select(F.col(id_col), score.cast("long").alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col)).limit(k))
+
+
+def build_embedding_store(emb: DataFrame, store_dir: str,
+                          n_bits: int = 32, n_bands: int = 4,
+                          dim: int = 64, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> None:
+    """Persist run N's embedding-dedup signatures so a later run can
+    semantic-dedup against it incrementally — the embedding twin of
+    `dedup.build_signature_store`.  Layout (all parquet):
+
+      {store_dir}/exact  (vec_hash, keep_id)        identity hashes
+      {store_dir}/sigs   (vec_id, sig[n_bits chars]) SRP signatures
+      {store_dir}/bands  (vec_id, band_id, band_sig) band buckets
+      {store_dir}/vecs   (vec_id, e: array<double>)  verify vectors
+
+    Unlike the text store (which never carries text — signatures
+    suffice for Jaccard-style verification), the embedding store DOES
+    carry the vectors: cosine verification of a candidate needs both
+    endpoints, and the historical corpus is exactly what incremental
+    dedup must not rescan.  That is still the cheap side of the trade:
+    the vector table is a fixed ~dim*8 bytes/row regardless of how
+    much text each embedding represents."""
+    hashes = emb.select(F.col(id_col),
+                        vec_hash(F.col(vec_col)).alias("vec_hash"))
+    (hashes.groupBy("vec_hash").agg(F.min(id_col).alias("keep_id"))
+     .write.mode("overwrite").parquet(f"{store_dir}/exact"))
+    sigs = srp_signature(emb, n_bits, dim, id_col, vec_col)
+    sigs.write.mode("overwrite").parquet(f"{store_dir}/sigs")
+    rpb = n_bits // n_bands
+    band_cols = [F.substring("sig", b * rpb + 1, rpb)
+                 for b in range(n_bands)]
+    (sigs.select(F.col(id_col),
+                 F.posexplode(F.array(*band_cols))
+                 .alias("band_id", "band_sig"))
+     .write.mode("overwrite").parquet(f"{store_dir}/bands"))
+    (emb.select(F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("e"))
+     .write.mode("overwrite").parquet(f"{store_dir}/vecs"))
+
+
+def incremental_embedding_keep_set(spark, new_emb: DataFrame,
+                                   store_dir: str,
+                                   threshold: float = 0.9,
+                                   n_bits: int = 32, n_bands: int = 4,
+                                   dim: int = 64,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding"
+                                   ) -> DataFrame:
+    """Cross-run incremental SemDeDup verdict for NEW vectors against
+    a persisted `build_embedding_store` — same (vec_id, keep, reason)
+    shape as the whole-corpus `embedding_keep_set`:
+
+      exact_dup  the vector's quantized identity hash exists in the
+                 store;
+      near_dup   shares an SRP band bucket with a stored vector AND
+                 exact cosine > threshold (rounded to 6, like every
+                 cosine verdict in this engine);
+      unique     neither.
+
+    Precedence exact_dup > near_dup.  NEW-vs-NEW duplicates are *not*
+    flagged (per-run semantics, identical to the text
+    `incremental_keep_set` — run `embedding_keep_set` within the
+    batch first if intra-batch dedup matters).
+
+    Scale: the new side computes signatures scan-local (codegen flat
+    sums); band matching joins only (band_id, band_sig, id) against
+    the store's band table; vectors ship for COLLIDING candidates
+    only (a key join against the store's vector table, bounded by
+    bucket sizes, never |new| x |store|)."""
+    sigs = srp_signature(new_emb, n_bits, dim, id_col, vec_col)
+    rpb = n_bits // n_bands
+    band_cols = [F.substring("sig", b * rpb + 1, rpb)
+                 for b in range(n_bands)]
+    nbands = sigs.select(F.col(id_col),
+                         F.posexplode(F.array(*band_cols))
+                         .alias("band_id", "band_sig"))
+    hbands = (spark.read.parquet(f"{store_dir}/bands")
+              .select(F.col("vec_id").alias("__hid"),
+                      "band_id", "band_sig"))
+    cand = (nbands.join(hbands, ["band_id", "band_sig"])
+            .select(F.col(id_col), F.col("__hid")).distinct())
+    hvecs = (spark.read.parquet(f"{store_dir}/vecs")
+             .select(F.col("vec_id").alias("__hid"),
+                     F.col("e").alias("__he")))
+    nvecs = new_emb.select(F.col(id_col),
+                           F.col(vec_col).cast("array<double>")
+                           .alias("__ne"))
+    cos = F.round(cosine(F.col("__ne"), F.col("__he")), 6)
+    near = (cand.join(hvecs, "__hid").join(nvecs, id_col)
+            .select(F.col(id_col), cos.alias("__cos"))
+            .where(F.col("__cos") > threshold)
+            .select(F.col(id_col)).distinct()
+            .withColumn("__near", F.lit(True)))
+    exact_store = (spark.read.parquet(f"{store_dir}/exact")
+                   .select(F.col("vec_hash").alias("__vh"))
+                   .withColumn("__exact", F.lit(True)))
+    hashes = new_emb.select(F.col(id_col),
+                            vec_hash(F.col(vec_col)).alias("__vh"))
+    reason = (F.when(F.col("__exact"), "exact_dup")
+              .when(F.col("__near"), "near_dup")
+              .otherwise("unique"))
+    return (hashes.join(exact_store, "__vh", "left")
+            .join(near, id_col, "left")
+            .select(F.col(id_col), (reason == "unique").alias("keep"),
+                    reason.alias("reason")))

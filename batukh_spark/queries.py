@@ -956,24 +956,33 @@ _SRP_SIGN_SQL = ("case when substr(md5(j::varchar || ':' "
                  "('8','9','a','b','c','d','e','f') then 1 else -1 end")
 
 
-def _srp_band_cte(src: str = "e", n_bits: int = 32,
+def _srp_sigs_cte(src: str = "e", p: str = "", n_bits: int = 32,
                   n_bands: int = 4) -> str:
-    """sigs/bands/cand CTE bodies over `src`(vec_id, e) — mirrors
-    similarity.srp_candidate_pairs (same md5 hyperplanes, same band
-    split, OR-of-bands pair semantics)."""
+    """{p}sigs/{p}bands CTE bodies over `src`(vec_id, e) — mirrors
+    similarity.srp_signature + the band split.  The prefix lets one
+    query carry TWO signature chains (e.g. the incremental embedding
+    store side and the new-arrivals side)."""
     rpb = n_bits // n_bands
     bvals = ", ".join(str(b) for b in range(n_bands))
-    return f"""sigs as (
+    return f"""{p}sigs as (
   select vec_id,
          array_to_string(list_transform(generate_series(0, {n_bits - 1}),
            j -> case when list_sum(list_transform(generate_series(1, 64),
                   i -> {src}.e[i] * {_SRP_SIGN_SQL})) > 0
                 then '1' else '0' end), '') as sig
   from {src}
-), bands as (
+), {p}bands as (
   select vec_id, b as band_id, substr(sig, b * {rpb} + 1, {rpb}) as band_sig
-  from sigs cross join unnest([{bvals}]) as u(b)
-), cand as (
+  from {p}sigs cross join unnest([{bvals}]) as u(b)
+)"""
+
+
+def _srp_band_cte(src: str = "e", n_bits: int = 32,
+                  n_bands: int = 4) -> str:
+    """sigs/bands/cand CTE bodies over `src`(vec_id, e) — mirrors
+    similarity.srp_candidate_pairs (same md5 hyperplanes, same band
+    split, OR-of-bands pair semantics)."""
+    return _srp_sigs_cte(src, "", n_bits, n_bands) + """, cand as (
   select a.vec_id as id_a, b.vec_id as id_b, count(*) as n_shared_bands
   from bands a
   join bands b on a.band_id = b.band_id and a.band_sig = b.band_sig
@@ -1153,6 +1162,121 @@ with recursive e0 as (
   from hashes h
   join exact x using (vh)
   left join clusters c using (vec_id)
+)
+select vec_id, reason = 'unique' as keep, reason from verdict
+"""
+
+
+def _emb_store_dir(sf: str) -> str:
+    """Deterministic per-corpus embedding signature store — build once
+    per testdata dir (keyed by corpus file identity + code version),
+    serve the incremental query from it."""
+    import os
+    st = os.stat(f"{sf}/embeddings.parquet")
+    base = os.path.basename(os.path.normpath(sf))
+    return (f"/tmp/batukh_embstore_v1_b32_{base}_"
+            f"{st.st_size}_{int(st.st_mtime)}")
+
+
+def incremental_embedding_keep_set_q(spark, sf):
+    """Cross-run incremental SemDeDup: verdicts for NEW vectors
+    against the persisted embedding signature store (similarity.
+    build_embedding_store / incremental_embedding_keep_set).  The
+    store is the full embeddings corpus; arrivals are planted three
+    ways — verbatim copies (vec_id%13, exact_dup), perturbed twins
+    (vec_id<60, the srp_recall perturbation, cos 0.98-0.995 ->
+    near_dup when a band collides — a band miss is 'unique'
+    IDENTICALLY in both engines), and negated vectors (vec_id%19,
+    cos <= -1 with their source and below threshold against
+    everything -> unique)."""
+    import os
+    emb = t(spark, sf, "embeddings")
+    store = _emb_store_dir(sf)
+    if not os.path.exists(f"{store}/vecs/_SUCCESS"):
+        tmp = f"{store}.build{os.getpid()}"
+        similarity.build_embedding_store(emb, tmp)
+        try:
+            os.rename(tmp, store)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(f"{store}/vecs/_SUCCESS"):
+                raise
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                      .alias("e"))
+    vid = F.col("vec_id")
+    copies = base.filter(vid % 13 == 0).select(
+        (vid + 1000000).alias("vec_id"), "e")
+    eps = F.element_at(F.array(F.lit(0.1), F.lit(0.15), F.lit(0.2)),
+                       (vid % 3 + 1).cast("int"))
+
+    def tsign(i):
+        h = F.md5(F.concat(F.lit("t:"), vid.cast("string"),
+                           F.lit(":"), i.cast("string")))
+        return F.when(F.substring(h, 1, 1).isin(*"89abcdef"),
+                      F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    twins = (base.filter(vid < 60)
+             .select((vid + 2000000).alias("tid"),
+                     F.transform("e", lambda x, i:
+                                 x * (1 + eps * tsign(i))).alias("e"))
+             .select(F.col("tid").alias("vec_id"), "e"))
+    negs = base.filter(vid % 19 == 0).select(
+        (vid + 3000000).alias("vec_id"),
+        F.transform("e", lambda x: -x).alias("e"))
+    arriving = copies.unionByName(twins).unionByName(negs)
+    return similarity.incremental_embedding_keep_set(
+        spark, arriving, store, vec_col="e")
+
+
+INCREMENTAL_EMB_KEEP_SET_SQL = f"""
+with e0 as (
+  select vec_id, embedding::double[] as e from embeddings
+), na as (
+  select vec_id + 1000000 as vec_id, e from e0 where vec_id % 13 = 0
+  union all
+  select vec_id + 2000000,
+         list_transform(generate_series(1, 64), i ->
+           e[i] * (1 + ([0.1, 0.15, 0.2])[(vec_id % 3)::int + 1] *
+             (case when substr(md5('t:' || vec_id::varchar || ':'
+                                    || (i-1)::varchar), 1, 1)
+                   in ('8','9','a','b','c','d','e','f')
+              then 1.0 else -1.0 end)))
+  from e0 where vec_id < 60
+  union all
+  select vec_id + 3000000, list_transform(e, x -> -x)
+  from e0 where vec_id % 19 = 0
+),
+{_srp_sigs_cte('e0', 'h')},
+{_srp_sigs_cte('na', 'n')}
+, cand as (
+  select distinct n.vec_id as nid, h.vec_id as hid
+  from nbands n
+  join hbands h on n.band_id = h.band_id and n.band_sig = h.band_sig
+), near as (
+  select distinct c.nid as vec_id
+  from cand c
+  join na on na.vec_id = c.nid
+  join e0 on e0.vec_id = c.hid
+  where round({_sql_cos('na.e', 'e0.e')}, 6) > 0.9
+), hex0 as (
+  select distinct md5(array_to_string(list_transform(e,
+           x -> (round(x * 1e6)::bigint)::varchar), ',')) as vh
+  from e0
+), nh as (
+  select vec_id,
+         md5(array_to_string(list_transform(e,
+           x -> (round(x * 1e6)::bigint)::varchar), ',')) as vh
+  from na
+), verdict as (
+  select nh.vec_id,
+         case when hex0.vh is not null then 'exact_dup'
+              when near.vec_id is not null then 'near_dup'
+              else 'unique' end as reason
+  from nh
+  left join hex0 using (vh)
+  left join near using (vec_id)
 )
 select vec_id, reason = 'unique' as keep, reason from verdict
 """
@@ -4343,6 +4467,8 @@ QUERIES = {
     "ivf_pq_topk": (ivf_pq_topk_q, IVF_PQ_TOPK_SQL),
     "calibrated_token_profile": (calibrated_token_profile_q,
                                  CALIBRATED_TOKEN_PROFILE_SQL),
+    "incremental_emb_keep_set": (incremental_embedding_keep_set_q,
+                                 INCREMENTAL_EMB_KEEP_SET_SQL),
     # conversation / SFT training-data layer
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
     "loss_mask_spans": (loss_mask_spans_q, LOSS_MASK_SPANS_SQL),

@@ -463,3 +463,98 @@ def streaming_oov_monitor(spark: SparkSession, source_dir: str,
         F.when(n_tokens > 0,
                F.expr("(n_oov * 1000000) div (__rows - __null_rows)"))
         .otherwise(F.lit(0)).cast("long").alias("oov_ppm"))
+
+
+def streaming_embedding_keep_set(spark: SparkSession, source_dir: str,
+                                 store_dir: str,
+                                 threshold: float = 0.9,
+                                 n_bits: int = 32, n_bands: int = 4,
+                                 dim: int = 64):
+    """Streaming twin of `similarity.incremental_embedding_keep_set`:
+    every arriving (vec_id, embedding) row gets the same (keep,
+    reason) verdict the batch operator assigns against the persisted
+    `build_embedding_store` — exact_dup (quantized identity hash in
+    the store), near_dup (shares an SRP band bucket with a stored
+    vector AND exact cosine > threshold, rounded to 6), else unique;
+    precedence exact_dup > near_dup.
+
+    Streaming shape (mirrors `streaming_store_keep_set`):
+      - the SRP signature is scan-local by construction (codegen flat
+        sums over literal hyperplane signs — no aggregation to
+        disallow);
+      - band matching is ONE stream-static left join per band against
+        the store's (band_id, band_sig) -> list<struct(id, e)> vector
+        buckets, so a stream row stays ONE row end-to-end (no
+        stream-side distinct);
+      - cosine verification is an `exists` over the collided buckets'
+        candidate vectors — interpreted per candidate, the documented
+        streaming-twin cost, paid per arriving row on candidates only.
+
+    Caveats: bucket vector lists are unbounded for pathological hot
+    buckets (near-identical embedding floods — run the batch
+    `embedding_keep_set` on history first so the store is already
+    deduplicated); the store snapshot is FIXED at stream construction
+    (see `streaming_store_dedup`).  Verdicts are pinned test-equal to
+    the batch operator on the same arriving files.
+
+    Returns an unstarted streaming DataFrame: (vec_id, keep, reason).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from batukh_spark.operators.similarity import (_srp_sign, cosine,
+                                                   vec_hash)
+
+    exact_store = (spark.read.parquet(f"{store_dir}/exact")
+                   .select(F.col("vec_hash").alias("__vh"))
+                   .withColumn("__exact", F.lit(True)))
+    vec_store = (spark.read.parquet(f"{store_dir}/vecs")
+                 .select(F.col("vec_id").alias("__hid"),
+                         F.col("e").alias("__he")))
+    band_store = spark.read.parquet(f"{store_dir}/bands")
+    buckets = (band_store
+               .join(vec_store,
+                     band_store["vec_id"] == F.col("__hid"))
+               .groupBy("band_id", "band_sig")
+               .agg(F.collect_list(F.col("__he")).alias("__cands")))
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    stream = (spark.readStream.schema(schema).parquet(source_dir))
+    df = (stream
+          .withColumn("__vh", vec_hash(F.col("embedding")))
+          .withColumn("__e",
+                      F.col("embedding").cast("array<double>")))
+    # scan-local SRP signature: same literal hyperplanes as the batch
+    # path; the staged __e column keeps the flat sums from re-casting
+    # the array per term
+    e = F.col("__e")
+    bits = []
+    for j in range(n_bits):
+        acc = None
+        for i in range(dim):
+            term = e.getItem(i) if _srp_sign(j, i) > 0 else -e.getItem(i)
+            acc = term if acc is None else acc + term
+        bits.append(F.when(acc > 0, "1").otherwise("0"))
+    df = df.withColumn("__sig", F.concat(*bits))
+    rpb = n_bits // n_bands
+    for b in range(n_bands):
+        bk = (buckets.filter(F.col("band_id") == b)
+              .select(F.col("band_sig").alias(f"__bs{b}"),
+                      F.col("__cands").alias(f"__cands{b}")))
+        df = (df.withColumn(f"__bs{b}",
+                            F.substring("__sig", b * rpb + 1, rpb))
+              .join(bk, f"__bs{b}", "left"))
+    empty = F.array().cast("array<array<double>>")
+    all_cands = F.concat(*[F.coalesce(F.col(f"__cands{b}"), empty)
+                           for b in range(n_bands)])
+    near = F.exists(all_cands,
+                    lambda c: F.round(cosine(e, c), 6) > threshold)
+    df = df.join(exact_store, "__vh", "left")
+    reason = (F.when(F.col("__exact"), "exact_dup")
+              .when(near, "near_dup")
+              .otherwise("unique"))
+    return df.select(F.col("vec_id"),
+                     (reason == "unique").alias("keep"),
+                     reason.alias("reason"))

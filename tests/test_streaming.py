@@ -289,3 +289,55 @@ def test_streaming_oov_monitor_matches_batch(spark, dirs):
     assert got == want
     assert sum(no for _, no, _ in got.values()) > 0      # real OOV mass
     assert len(got) > 1                                  # several windows
+
+
+def test_streaming_embedding_keep_set_matches_batch(spark, dirs, tmp_path):
+    """The streaming SemDeDup twin must assign EXACTLY the verdicts
+    the batch incremental_embedding_keep_set assigns to the same
+    arriving vectors against the same persisted store: exact_dup for
+    quantized-identity hits, near_dup for band-colliding +
+    cosine-verified neighbours, unique otherwise."""
+    from pyspark.sql import functions as F
+
+    from batukh_spark.operators.similarity import (
+        build_embedding_store, incremental_embedding_keep_set)
+    from batukh_spark.streaming.incremental import (
+        streaming_embedding_keep_set)
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    hist = emb.filter(F.col("vec_id") < 80)
+    store = str(tmp_path / "embstore")
+    build_embedding_store(hist, store)
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    vid = F.col("vec_id")
+    copies = base.filter(vid < 10).select(
+        (vid + 1000).alias("vec_id"), "e")
+    twins = (base.filter((vid >= 10) & (vid < 20))
+             .select((vid + 2000).alias("vec_id"),
+                     F.transform("e", lambda x: x * 1.00005).alias("e")))
+    fresh = base.filter((vid >= 80) & (vid < 100))
+    arriving = (copies.unionByName(twins).unionByName(fresh)
+                .select("vec_id",
+                        F.col("e").cast("array<float>")
+                        .alias("embedding")))
+    arriving.write.parquet(dirs["src"])
+
+    q = (streaming_embedding_keep_set(spark, dirs["src"], store)
+         .writeStream.format("memory").queryName("seks")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.vec_id: (r.keep, r.reason) for r in spark.sql(
+        "select * from seks").collect()}
+
+    batch = incremental_embedding_keep_set(
+        spark, spark.read.parquet(dirs["src"]), store)
+    want = {r.vec_id: (r.keep, r.reason) for r in batch.collect()}
+    assert got == want
+    reasons = {v[1] for v in want.values()}
+    assert reasons == {"exact_dup", "near_dup", "unique"}
+    # the uniformly-scaled twins have cosine exactly 1.0 with their
+    # source but a DIFFERENT quantized hash -> near_dup, never exact
+    assert all(want[2000 + i][1] == "near_dup" for i in range(10, 20))
