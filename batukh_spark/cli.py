@@ -47,7 +47,8 @@ def main(argv=None) -> int:
                    help="local[N] cores (ignored on a real cluster)")
     p.add_argument("--job",
                    choices=["extract", "mix", "batches", "convdocs",
-                            "sft", "audit", "semdedup"],
+                            "sft", "audit", "semdedup", "embstore",
+                            "annindex"],
                    default="extract",
                    help="extract (default) | mix (training-chunk rows "
                         "from an extraction output) | batches (packed "
@@ -55,7 +56,11 @@ def main(argv=None) -> int:
                         "role-tagged training document per conversation) "
                         "| semdedup (SemDeDup keep/drop verdicts over an "
                         "embeddings table: --input has vec_id + "
-                        "embedding columns)")
+                        "embedding columns; with --store, incremental "
+                        "against a persisted signature store) | "
+                        "embstore (persist an embedding signature store "
+                        "for later incremental runs) | annindex (train "
+                        "and persist an IVF or IVF-PQ ANN index; --pq)")
     p.add_argument("--rates", default="{}",
                    help='JSON lang->sampling-rate for the mix, e.g. '
                         '\'{"en": 0.5}\'')
@@ -73,6 +78,15 @@ def main(argv=None) -> int:
                    help="embedding dimensionality for --job semdedup")
     p.add_argument("--threshold", type=float, default=0.9,
                    help="cosine near-dup threshold for --job semdedup")
+    p.add_argument("--store", default=None,
+                   help="persisted embedding signature store (--job "
+                        "embstore output); makes --job semdedup "
+                        "incremental: new vectors are deduped against "
+                        "the store, not against each other")
+    p.add_argument("--pq", action="store_true",
+                   help="--job annindex: train the IVF-PQ index "
+                        "(integer distance-table serving) instead of "
+                        "plain IVF")
     p.add_argument("--keep-unknown-lang", action="store_true",
                    help="keep docs with no language verdict (bucketed "
                         "under the 'und' stratum) instead of dropping "
@@ -148,27 +162,67 @@ def _run_training_job(spark, args) -> dict:
         return {"job": args.job, "rows_out": n_rows,
                 "convs_flagged": n_flagged,
                 "wall_s": time.time() - t0}
+    if args.job == "embstore":
+        # persist the embedding signature store run N's semdedup
+        # writes so run N+1 can dedup against it incrementally
+        from batukh_spark.operators.similarity import (
+            build_embedding_store, embedding_audit)
+        audit = embedding_audit(ext, expected_dim=args.dim).collect()[0]
+        if not audit.ok:
+            raise SystemExit(
+                f"embstore: embedding contract audit failed: "
+                f"{audit.asDict()} — clean the table first")
+        build_embedding_store(ext, args.output, dim=args.dim)
+        n_sigs = _read_table(spark,
+                             f"{args.output}/sigs").count()
+        return {"job": args.job, "n_vectors": int(audit.n_rows),
+                "sigs_rows": n_sigs, "wall_s": time.time() - t0}
+    if args.job == "annindex":
+        from batukh_spark.operators.similarity import (
+            embedding_audit, train_ivf, train_ivf_pq)
+        audit = embedding_audit(ext, expected_dim=args.dim).collect()[0]
+        if not audit.ok:
+            raise SystemExit(
+                f"annindex: embedding contract audit failed: "
+                f"{audit.asDict()} — clean the table first")
+        if args.pq:
+            train_ivf_pq(ext, args.output, dim=args.dim)
+        else:
+            train_ivf(ext, args.output, dim=args.dim)
+        n_idx = _read_table(spark, f"{args.output}/vectors").count()
+        return {"job": args.job, "pq": bool(args.pq),
+                "n_vectors": int(audit.n_rows), "index_rows": n_idx,
+                "wall_s": time.time() - t0}
     if args.job == "semdedup":
         # SemDeDup over an embedding table: pre-flight contract audit
         # first (NULL/NaN/zero/wrong-dim vectors silently corrupt the
         # cosine math downstream — fail BEFORE committing cluster
-        # time), then the keep/drop verdict.  Reason counts come from
-        # the WRITTEN verdict table (small), not a corpus re-run.
+        # time), then the keep/drop verdict — whole-corpus by default,
+        # incremental against a persisted store with --store.  Reason
+        # counts come from the WRITTEN verdict table (small), not a
+        # corpus re-run.
         from batukh_spark.operators.similarity import (
-            embedding_audit, embedding_keep_set)
+            embedding_audit, embedding_keep_set,
+            incremental_embedding_keep_set)
         audit = embedding_audit(ext, expected_dim=args.dim).collect()[0]
         if not audit.ok:
             raise SystemExit(
                 f"semdedup: embedding contract audit failed: "
                 f"{audit.asDict()} — clean the table first")
-        out = embedding_keep_set(ext, dim=args.dim,
-                                 threshold=args.threshold)
+        if args.store:
+            out = incremental_embedding_keep_set(
+                spark, ext, args.store, threshold=args.threshold,
+                dim=args.dim)
+        else:
+            out = embedding_keep_set(ext, dim=args.dim,
+                                     threshold=args.threshold)
         n_rows = _write_table(spark, out, args.output)
         written = _read_table(spark, args.output)
         by_reason = {r["reason"]: r["n"] for r in
                      written.groupBy("reason")
                      .agg(F.count(F.lit(1)).alias("n")).collect()}
         return {"job": args.job, "rows_out": n_rows,
+                "incremental": bool(args.store),
                 "n_vectors": int(audit.n_rows),
                 "kept": by_reason.get("unique", 0),
                 "exact_dup": by_reason.get("exact_dup", 0),

@@ -195,3 +195,44 @@ def test_cli_semdedup_audit_gate(tmp_path):
     assert r.returncode != 0
     assert "contract audit failed" in r.stderr
     assert not os.path.exists(out)
+
+
+def test_cli_embstore_then_incremental_semdedup(tmp_path):
+    """embstore persists the signature store; semdedup --store then
+    assigns incremental verdicts for new arrivals against it.
+    Artifacts verified with DuckDB."""
+    hist = str(tmp_path / "hist.parquet")
+    arriving = str(tmp_path / "arr.parquet")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "verdicts")
+    base = "/root/testdata/sf0.001/embeddings.parquet"
+    con = duckdb.connect()
+    con.execute(f"""
+        copy (select vec_id, embedding from read_parquet('{base}')
+              where vec_id < 80) to '{hist}' (format parquet)
+    """)
+    con.execute(f"""
+        copy (
+          select vec_id + 1000 as vec_id, embedding
+          from read_parquet('{base}') where vec_id < 10   -- re-arrivals
+          union all
+          select vec_id, embedding from read_parquet('{base}')
+          where vec_id between 80 and 99                  -- fresh
+        ) to '{arriving}' (format parquet)
+    """)
+    s0 = _run(["--job", "embstore", "--input", hist, "--output", store,
+               "--parallelism", "8"])
+    assert s0["n_vectors"] == 80 and s0["sigs_rows"] == 80
+    assert con.execute(
+        f"select count(*) from read_parquet('{store}/bands/*.parquet')"
+    ).fetchone()[0] == 320                                 # 4 bands/vec
+    s1 = _run(["--job", "semdedup", "--input", arriving, "--output",
+               out, "--store", store, "--parallelism", "8"])
+    assert s1["incremental"] is True and s1["rows_out"] == 30
+    # raw corpus has no natural cos>0.9 pairs: the 10 re-arrivals are
+    # exact_dup, the 20 fresh vectors unique
+    assert (s1["kept"], s1["exact_dup"], s1["near_dup"]) == (20, 10, 0)
+    rows = dict(con.execute(
+        f"select reason, count(*) from read_parquet('{out}/*.parquet') "
+        f"group by 1").fetchall())
+    assert rows == {"exact_dup": 10, "unique": 20}

@@ -443,3 +443,21 @@ def test_ivf_pq_serving_plan_is_lookup_only(emb, tmp_path):
     assert "cluster" in physical.split("PartitionFilters", 1)[1][:200]
     read_schema = physical.split("ReadSchema", 1)[1][:200]
     assert "code" in read_schema and "embedding" not in read_schema
+
+
+def test_incremental_embedding_keep_set_plan_is_bucketed(emb, tmp_path):
+    """Incremental SemDeDup must never go all-pairs: band matching is
+    a key join against the store's band table, vectors join in for
+    colliding candidates only — no cartesian product or nested-loop
+    join anywhere."""
+    store = str(tmp_path / "embstore")
+    similarity.build_embedding_store(emb, store, dim=8)
+    new = emb.sparkSession.createDataFrame(
+        [(100 + i, [float(i), 1.0, 2.0, 3.0, 0.5, 0.1, 0.2, 0.3])
+         for i in range(5)],
+        "vec_id long, embedding array<float>")
+    df = similarity.incremental_embedding_keep_set(
+        emb.sparkSession, new, store, dim=8)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
