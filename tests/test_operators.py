@@ -461,3 +461,18 @@ def test_incremental_embedding_keep_set_plan_is_bucketed(emb, tmp_path):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_pq_refine_finds_exact_copy_first(emb, tmp_path):
+    """Refinement re-ranks by exact cosine: the planted copy (vec 30
+    == vec 9) must come back first with cos_sim 1.0."""
+    idx = str(tmp_path / "pq_index3")
+    similarity.train_ivf_pq(emb, idx, m=4, ks=8, dim=8)
+    got = similarity.ivf_pq_topk(emb.sparkSession, idx, query_id=9,
+                                 k=3, refine=10).collect()
+    assert got[0].vec_id == 30 and got[0].cos_sim == 1.0
+    # the refined path still must not aggregate over the corpus
+    df = similarity.ivf_pq_topk(emb.sparkSession, idx, query_id=9,
+                                k=3, refine=10)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in optimized
