@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "quality_classifier", "fixed_size_sample",
     # round-6 additions
     "embedding_keep_set", "calibrated_token_profile",
+    "incremental_emb_keep_set",
 ]
 # srp_recall is excluded: its brute-force TRUTH SET is intentionally
 # all-pairs (it exists to measure the banded path's recall) and runs at
