@@ -3722,6 +3722,51 @@ from cum group by source
 """
 
 
+def event_props_stats_q(spark, sf):
+    """Typed projection out of the semi-structured JSON props column
+    (semistructured.parse_json_props — explicit-schema from_json,
+    malformed input counted-not-dropped per the reference's
+    ignore_errors contract) rolled up per event type, with corrupt
+    rows PLANTED on event_id%31 so the malformed path actually
+    fires."""
+    from batukh_spark.operators.semistructured import parse_json_props
+    ev = t(spark, sf, "events")
+    planted = ev.withColumn(
+        "props", F.when(F.col("event_id") % 31 == 0, F.lit("xx{"))
+        .otherwise(F.col("props")))
+    parsed = parse_json_props(planted, {"k": "long"})
+    return (parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("malformed"), 1).otherwise(0))
+        .cast("long").alias("n_malformed"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.count_distinct(F.col("k")).alias("n_distinct_k")))
+
+
+EVENT_PROPS_STATS_SQL = """
+with planted as (
+  select event_id, event_type,
+         case when event_id % 31 = 0 then 'xx{' else props end as props
+  from events
+), p as (
+  select event_type,
+         case when props is not null and json_valid(props)
+              then json_extract(props, '$.k')::bigint end as k,
+         coalesce(props is not null and not json_valid(props), false)
+           as bad
+  from planted
+)
+select event_type, count(*)::bigint as n_events,
+       sum(case when bad then 1 else 0 end)::bigint as n_malformed,
+       sum(k)::bigint as sum_k, min(k)::bigint as min_k,
+       max(k)::bigint as max_k,
+       count(distinct k)::bigint as n_distinct_k
+from p group by 1
+"""
+
+
 def calibrated_token_profile_q(spark, sf):
     """Per-source token-length profile in CALIBRATED units: factors
     (bpe_per_tok_ppm) are measured from a deterministic 10-doc-per-
@@ -4539,6 +4584,7 @@ QUERIES = {
     "incremental_emb_keep_set": (incremental_embedding_keep_set_q,
                                  INCREMENTAL_EMB_KEEP_SET_SQL),
     "ivf_pq_refine_topk": (ivf_pq_refine_topk_q, IVF_PQ_REFINE_SQL),
+    "event_props_stats": (event_props_stats_q, EVENT_PROPS_STATS_SQL),
     # conversation / SFT training-data layer
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
     "loss_mask_spans": (loss_mask_spans_q, LOSS_MASK_SPANS_SQL),

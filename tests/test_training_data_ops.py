@@ -1334,3 +1334,24 @@ def test_quality_classifier_oracle_parity_on_multibyte_text(spark):
     want = {r[0]: (r[1], r[2])
             for r in con.execute(quality_classifier_sql()).fetchall()}
     assert got == want
+
+
+def test_parse_json_props_contract(spark):
+    """Explicit-schema typed projection: corrupt JSON -> NULL fields +
+    malformed=True (counted, never dropped); NULL input and valid
+    objects missing the field are NOT malformed; extra fields are
+    ignored; no shuffle anywhere."""
+    from batukh_spark.operators.semistructured import parse_json_props
+    df = spark.createDataFrame(
+        [(1, '{"k": 5, "extra": "x"}'), (2, "xx{"), (3, None),
+         (4, "{}"), (5, '{"k": null}')],
+        "event_id long, props string")
+    out = parse_json_props(df, {"k": "long"})
+    got = {r.event_id: (r.k, r.malformed) for r in out.collect()}
+    assert got == {1: (5, False), 2: (None, True), 3: (None, False),
+                   4: (None, False), 5: (None, False)}
+    assert out.columns == ["event_id", "k", "malformed"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        parse_json_props(df, {"__corrupt": "string"})
