@@ -3722,6 +3722,87 @@ from cum group by source
 """
 
 
+def bpe_merges_q(spark, sf):
+    """Distributed BPE merge-table training over the documents corpus
+    (vocab.train_bpe — one corpus shuffle to the (word, count)
+    working set, then per round: pair explode + map-side-combined
+    groupBy + one-row argmax collect + scan-local greedy-leftmost
+    fold).  Deterministic: integer counts, (count desc, pair asc)
+    tie-break — the oracle replays the identical six rounds with
+    list_reduce folds."""
+    from batukh_spark.operators.vocab import train_bpe
+    return train_bpe(t_spread(spark, sf, "documents"), n_merges=6)
+
+
+def _bpe_cte(n_merges: int = 6, src: str = "documents") -> str:
+    """w0 (word-frequency symbol table) -> [p{r} pair counts -> b{r}
+    one-row argmax -> w{r} fold-applied merge] x rounds — the DuckDB
+    mirror of vocab.train_bpe.  The fold encodes its (out, pending)
+    state in one string (out chr(31)-joined, chr(30) separator;
+    symbols are ^[a-z0-9]+$ so the separators can never collide),
+    init-seeded by list_prepend since list_reduce has no explicit
+    initial value."""
+    sp1 = "split_part(a, chr(30), 1)"
+    sp2 = "split_part(a, chr(30), 2)"
+    parts = [r"""w0 as (
+  select list_transform(generate_series(1, length(w)),
+                        i -> substr(w, i, 1)) as s,
+         count(*)::bigint as n
+  from (select unnest(list_filter(regexp_split_to_array(lower(text),
+                                                        '\s+'),
+                                  x -> x <> '')) as w
+        from """ + src + r""")
+  where regexp_matches(w, '^[a-z0-9]+$')
+  group by w
+)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} as (
+  select pair, sum(n)::bigint as cnt from (
+    select unnest(list_transform(generate_series(1, len(s) - 1),
+                  i -> s[i] || chr(31) || s[i + 1])) as pair, n
+    from w{r - 1} where len(s) >= 2)
+  group by pair
+), b{r} as (
+  select {r} as round,
+         split_part(pair, chr(31), 1) as left_s,
+         split_part(pair, chr(31), 2) as right_s,
+         cnt
+  from p{r} order by cnt desc, pair asc limit 1
+), w{r} as (
+  select w.n,
+         string_split(
+           case when split_part(acc, chr(30), 2) = ''
+                then split_part(acc, chr(30), 1)
+                when split_part(acc, chr(30), 1) = ''
+                then split_part(acc, chr(30), 2)
+                else split_part(acc, chr(30), 1) || chr(31)
+                     || split_part(acc, chr(30), 2) end,
+           chr(31)) as s
+  from (
+    select w.n,
+           list_reduce(list_prepend(chr(30), w.s), (a, x) ->
+             case when {sp2} = b.left_s and x = b.right_s
+             then (case when {sp1} = '' then b.left_s || b.right_s
+                        else {sp1} || chr(31) || b.left_s || b.right_s
+                   end) || chr(30)
+             else (case when {sp2} = '' then {sp1}
+                        when {sp1} = '' then {sp2}
+                        else {sp1} || chr(31) || {sp2} end)
+                  || chr(30) || x end) as acc
+    from w{r - 1} w cross join b{r} b) w
+)""")
+    return "with " + ", ".join(parts)
+
+
+BPE_MERGES_SQL = _bpe_cte(6) + """
+""" + "\nunion all\n".join(
+    f'select round, left_s as "left", right_s as "right", '
+    f'left_s || right_s as merged, cnt as pair_count from b{r}'
+    for r in range(1, 7)) + """
+order by round
+"""
+
+
 def event_props_stats_q(spark, sf):
     """Typed projection out of the semi-structured JSON props column
     (semistructured.parse_json_props — explicit-schema from_json,
@@ -4585,6 +4666,7 @@ QUERIES = {
                                  INCREMENTAL_EMB_KEEP_SET_SQL),
     "ivf_pq_refine_topk": (ivf_pq_refine_topk_q, IVF_PQ_REFINE_SQL),
     "event_props_stats": (event_props_stats_q, EVENT_PROPS_STATS_SQL),
+    "bpe_merges": (bpe_merges_q, BPE_MERGES_SQL),
     # conversation / SFT training-data layer
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
     "loss_mask_spans": (loss_mask_spans_q, LOSS_MASK_SPANS_SQL),

@@ -1355,3 +1355,44 @@ def test_parse_json_props_contract(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError):
         parse_json_props(df, {"__corrupt": "string"})
+
+
+def test_train_bpe_reference_semantics(spark):
+    """Hand-computed reference: 'low low lower' learns lo (3, the
+    l<o tie-break against ow in binary pair order), then low (3),
+    then er (1, e<low)."""
+    from batukh_spark.operators.vocab import train_bpe
+    docs = spark.createDataFrame([(1, "low low lower")],
+                                 "doc_id long, text string")
+    got = [(r.round, r.left, r.right, r.merged, r.pair_count)
+           for r in train_bpe(docs, n_merges=3).collect()]
+    assert got == [(1, "l", "o", "lo", 3), (2, "lo", "w", "low", 3),
+                   (3, "e", "r", "er", 1)]
+
+
+def test_train_bpe_greedy_leftmost_runs(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] — greedy
+    leftmost, runs pair up without overlap (the reference BPE
+    application order)."""
+    from batukh_spark.operators.vocab import train_bpe
+    docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    got = [(r.round, r.merged, r.pair_count)
+           for r in train_bpe(docs, n_merges=2).collect()]
+    # round 1: (a,a) count 3 (three adjacencies in one word);
+    # round 2: [aa, aa] -> (aa,aa) count 1
+    assert got == [(1, "aa", 3), (2, "aaaa", 1)]
+
+
+def test_train_bpe_stops_early_and_validates(spark):
+    from batukh_spark.operators.vocab import train_bpe
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # single-char words: first round has no pairs at all -> 0 rows
+    assert train_bpe(docs, n_merges=4).count() == 0
+    with pytest.raises(ValueError):
+        train_bpe(docs, n_merges=0)
+    # non-word tokens are excluded from training
+    docs2 = spark.createDataFrame([(1, "ab ab @@ @@ @@")],
+                                  "doc_id long, text string")
+    got = [(r.merged, r.pair_count)
+           for r in train_bpe(docs2, n_merges=1).collect()]
+    assert got == [("ab", 2)]
