@@ -72,16 +72,26 @@ def train_bpe(docs: DataFrame, n_merges: int = 6,
     round touches only the (word, count, symbols) table, and the
     winning pair travels as a literal (no join).  Stops early if the
     corpus runs out of adjacent pairs (returns fewer rows)."""
+    rows, _vocab = _train_bpe_full(docs, n_merges, text_col)
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "round int, left string, right string, merged string, "
+        "pair_count long")
+
+
+def _train_bpe_full(docs: DataFrame, n_merges: int, text_col: str):
+    """Shared training loop: returns (merge_rows, vocab) where vocab
+    is the (w, syms) word table AFTER all merges — the encoded form
+    every word takes under the learned vocabulary."""
     if not (isinstance(n_merges, int) and 1 <= n_merges <= 64):
         raise ValueError(f"n_merges must be in [1, 64], got {n_merges!r}")
     from batukh_spark.operators.text import tokens_col
-    spark = docs.sparkSession
     words = (docs
              .select(F.explode(tokens_col(text_col)).alias("w"))
              .where(F.col("w").rlike(BPE_WORD_RE))
              .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
              .select(
-                 "n",
+                 "w", "n",
                  F.transform(
                      F.sequence(F.lit(1), F.length("w")),
                      lambda i: F.col("w").substr(i, F.lit(1)))
@@ -108,9 +118,42 @@ def train_bpe(docs: DataFrame, n_merges: int = 6,
         out_rows.append((rnd, left, right, left + right,
                          int(best[0]["cnt"])))
         words = (words.select(
-            "n", _apply_merge(F.col("syms"), left, right).alias("syms"))
+            "w", "n",
+            _apply_merge(F.col("syms"), left, right).alias("syms"))
             .localCheckpoint())
-    return spark.createDataFrame(
-        out_rows,
-        "round int, left string, right string, merged string, "
-        "pair_count long")
+    return out_rows, words
+
+
+def bpe_token_counts(docs: DataFrame, n_merges: int = 6,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """TRAINED-vocabulary token accounting: learn the merge table,
+    then count each document's subword tokens under it — the real-
+    tokenizer upgrade over the BPE_REGEX proxy (`token_counts`) and
+    the calibration factors (`calibrate_token_scale`), computed
+    without ever tokenizing the corpus twice: encoding joins each
+    document's tokens against the trained (word -> symbols) table,
+    which already holds every word's final segmentation as a training
+    by-product.
+
+    Returns (id_col, n_bpe_tokens): word-ish tokens contribute their
+    learned symbol count, non-word tokens (punctuation runs, mixed
+    symbols — excluded from training by BPE_WORD_RE) contribute 1
+    each; token-less documents report 0.
+
+    Scale: one explode + one key join against the word table (the
+    BPE working set, |distinct words| rows) + one groupBy(id) — the
+    join and aggregation carry only (id, int) pairs past the scan."""
+    merges, vocab = _train_bpe_full(docs, n_merges, text_col)
+    from batukh_spark.operators.text import tokens_col
+    toks = docs.select(F.col(id_col),
+                       F.explode(tokens_col(text_col)).alias("w"))
+    sized = vocab.select("w", F.size("syms").alias("__ns"))
+    per = (toks.join(sized, "w", "left")
+           .groupBy(id_col)
+           .agg(F.sum(F.coalesce(F.col("__ns"), F.lit(1)))
+                .cast("long").alias("__n")))
+    return (docs.select(F.col(id_col)).join(per, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("__n"), F.lit(0))
+                    .alias("n_bpe_tokens")))

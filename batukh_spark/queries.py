@@ -3745,7 +3745,8 @@ def _bpe_cte(n_merges: int = 6, src: str = "documents") -> str:
     sp1 = "split_part(a, chr(30), 1)"
     sp2 = "split_part(a, chr(30), 2)"
     parts = [r"""w0 as (
-  select list_transform(generate_series(1, length(w)),
+  select w,
+         list_transform(generate_series(1, length(w)),
                         i -> substr(w, i, 1)) as s,
          count(*)::bigint as n
   from (select unnest(list_filter(regexp_split_to_array(lower(text),
@@ -3769,7 +3770,7 @@ def _bpe_cte(n_merges: int = 6, src: str = "documents") -> str:
          cnt
   from p{r} order by cnt desc, pair asc limit 1
 ), w{r} as (
-  select w.n,
+  select w.w, w.n,
          string_split(
            case when split_part(acc, chr(30), 2) = ''
                 then split_part(acc, chr(30), 1)
@@ -3779,7 +3780,7 @@ def _bpe_cte(n_merges: int = 6, src: str = "documents") -> str:
                      || split_part(acc, chr(30), 2) end,
            chr(31)) as s
   from (
-    select w.n,
+    select w.w, w.n,
            list_reduce(list_prepend(chr(30), w.s), (a, x) ->
              case when {sp2} = b.left_s and x = b.right_s
              then (case when {sp1} = '' then b.left_s || b.right_s
@@ -3800,6 +3801,33 @@ BPE_MERGES_SQL = _bpe_cte(6) + """
     f'left_s || right_s as merged, cnt as pair_count from b{r}'
     for r in range(1, 7)) + """
 order by round
+"""
+
+
+def bpe_token_counts_q(spark, sf):
+    """Per-document token counts under the TRAINED 6-merge BPE
+    vocabulary (vocab.bpe_token_counts — encoding joins each doc's
+    tokens against the trained word->symbols table, a training
+    by-product; non-word tokens count 1, token-less docs report 0)."""
+    from batukh_spark.operators.vocab import bpe_token_counts
+    return bpe_token_counts(t_spread(spark, sf, "documents"),
+                            n_merges=6)
+
+
+BPE_TOKEN_COUNTS_SQL = _bpe_cte(6) + r"""
+, toks as (
+  select doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) as w
+  from documents
+), per as (
+  select t.doc_id,
+         sum(coalesce(len(w6.s), 1))::bigint as n
+  from toks t left join w6 on w6.w = t.w
+  group by t.doc_id
+)
+select d.doc_id, coalesce(per.n, 0)::bigint as n_bpe_tokens
+from documents d left join per using (doc_id)
 """
 
 
@@ -4667,6 +4695,7 @@ QUERIES = {
     "ivf_pq_refine_topk": (ivf_pq_refine_topk_q, IVF_PQ_REFINE_SQL),
     "event_props_stats": (event_props_stats_q, EVENT_PROPS_STATS_SQL),
     "bpe_merges": (bpe_merges_q, BPE_MERGES_SQL),
+    "bpe_token_counts": (bpe_token_counts_q, BPE_TOKEN_COUNTS_SQL),
     # conversation / SFT training-data layer
     "conversation_docs": (conversation_docs_q, CONVERSATION_DOCS_SQL),
     "loss_mask_spans": (loss_mask_spans_q, LOSS_MASK_SPANS_SQL),

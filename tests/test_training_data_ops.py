@@ -1396,3 +1396,16 @@ def test_train_bpe_stops_early_and_validates(spark):
     got = [(r.merged, r.pair_count)
            for r in train_bpe(docs2, n_merges=1).collect()]
     assert got == [("ab", 2)]
+
+
+def test_bpe_token_counts_semantics(spark):
+    from batukh_spark.operators.vocab import bpe_token_counts
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "er er @@"), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_counts(docs, n_merges=3).collect()}
+    # learned merges on this corpus: er, lo, low ->
+    # doc1: [low][low][low,er] = 4; doc2: [er][er] + '@@' as 1 = 3;
+    # doc3: token-less -> 0
+    assert got == {1: 4, 2: 3, 3: 0}
