@@ -87,7 +87,8 @@ BENCH_QUERIES = [
     "quality_classifier", "fixed_size_sample",
     # round-6 additions
     "embedding_keep_set", "calibrated_token_profile",
-    "incremental_emb_keep_set",
+    "incremental_emb_keep_set", "event_props_stats",
+    "bpe_token_counts",
 ]
 # srp_recall is excluded: its brute-force TRUTH SET is intentionally
 # all-pairs (it exists to measure the banded path's recall) and runs at
