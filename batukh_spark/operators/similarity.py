@@ -222,7 +222,8 @@ def srp_signature(emb: DataFrame, n_bits: int = 16, dim: int = 64,
 def srp_candidate_pairs(emb: DataFrame, n_bits: int = 32,
                         n_bands: int = 4, dim: int = 64,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        max_bucket: int | None = None) -> DataFrame:
     """Banded SRP-LSH candidates: (id_a, id_b, n_shared_bands).
 
     The signature splits into `n_bands` bands of n_bits/n_bands bits
@@ -232,7 +233,24 @@ def srp_candidate_pairs(emb: DataFrame, n_bits: int = 32,
     4 OR'd 8-bit bands give 1-(1-0.899^8)^4 ~ 0.91, and the verify step
     keeps precision.  The self-join shuffles only (band_id, band_sig,
     id) — bucketed, never all-pairs; pairs colliding in several bands
-    collapse in the groupBy."""
+    collapse in the groupBy.
+
+    DENSITY CONTRACT (the knob that keeps "bucketed" true as the
+    corpus grows): a b-bit band has 2^b buckets, so the expected
+    bucket occupancy is n / 2^b and the candidate volume grows as
+    n^2 / 2^b — with the 8-bit default the verify stage degrades
+    toward all-pairs beyond ~10^5 vectors (measured: 55k vectors ->
+    ~860 candidates per probe).  Two levers: scale n_bits with
+    log2(n) (wider bands = fewer random collisions, recall paid at
+    the threshold cosine), and/or set `max_bucket` — the standard
+    LSH hot-bucket guard (the fingerprint df-gate's twin): buckets
+    with more than `max_bucket` members are EXCLUDED from candidate
+    generation (a hot bucket is low-information by construction —
+    its members agree on b bits because the region is dense, not
+    because they are near-dups; a true near-dup pair in a dropped
+    bucket usually still collides in one of the other OR'd bands).
+    The cap bounds per-probe work to n_bands * max_bucket candidates
+    regardless of corpus size."""
     rows_per_band = n_bits // n_bands
     sigs = srp_signature(emb, n_bits, dim, id_col, vec_col)
     band_cols = [F.substring("sig", b * rows_per_band + 1, rows_per_band)
@@ -240,6 +258,15 @@ def srp_candidate_pairs(emb: DataFrame, n_bits: int = 32,
     bands = sigs.select(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"))
+    if max_bucket is not None:
+        if not (isinstance(max_bucket, int) and max_bucket >= 2):
+            raise ValueError(f"max_bucket must be an int >= 2 or None, "
+                             f"got {max_bucket!r}")
+        sizes = bands.groupBy("band_id", "band_sig").agg(
+            F.count(F.lit(1)).alias("__bn"))
+        bands = (bands.join(sizes, ["band_id", "band_sig"])
+                 .where(F.col("__bn") <= max_bucket)
+                 .drop("__bn"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -253,14 +280,16 @@ def srp_candidate_pairs(emb: DataFrame, n_bits: int = 32,
 def srp_near_dup_pairs(emb: DataFrame, n_bits: int = 32,
                        n_bands: int = 4, dim: int = 64,
                        threshold: float = 0.9, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_bucket: int | None = None) -> DataFrame:
     """Embedding near-dup: multi-band SRP-LSH candidates verified by
     exact cosine.  Returns (id_a, id_b, n_shared_bands, cos_sim,
     is_near_dup).  Candidate generation is bucketed (see
     srp_candidate_pairs); the verify join ships vectors for candidates
     only, so the quadratic term is bounded by bucket sizes, not corpus
     size."""
-    cand = srp_candidate_pairs(emb, n_bits, n_bands, dim, id_col, vec_col)
+    cand = srp_candidate_pairs(emb, n_bits, n_bands, dim, id_col,
+                               vec_col, max_bucket=max_bucket)
     vecs = emb.select(F.col(id_col),
                       F.col(vec_col).cast("array<double>").alias("e"))
     a = vecs.alias("va")
@@ -471,7 +500,8 @@ def embedding_audit(emb: DataFrame, expected_dim: int,
 def embedding_keep_set(emb: DataFrame, n_bits: int = 32,
                        n_bands: int = 4, dim: int = 64,
                        threshold: float = 0.9, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_bucket: int | None = None) -> DataFrame:
     """SemDeDup-style per-vector corpus verdict — the embedding-
     granularity twin of the text `dedup.keep_set`, the artifact a
     semantic-dedup pass actually consumes.  Returns (vec_id, keep,
@@ -519,7 +549,8 @@ def embedding_keep_set(emb: DataFrame, n_bits: int = 32,
                     id_col, "left_semi")
     pairs = (srp_near_dup_pairs(reps, n_bits=n_bits, n_bands=n_bands,
                                 dim=dim, threshold=threshold,
-                                id_col=id_col, vec_col=vec_col)
+                                id_col=id_col, vec_col=vec_col,
+                                max_bucket=max_bucket)
              .where(F.col("is_near_dup"))
              .select("id_a", "id_b"))
     clusters = resolve_clusters(pairs) \

@@ -476,3 +476,25 @@ def test_ivf_pq_refine_finds_exact_copy_first(emb, tmp_path):
                                 k=3, refine=10)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Aggregate" not in optimized
+
+
+def test_srp_hot_bucket_guard_bounds_candidates(spark):
+    """max_bucket drops dense buckets from candidate generation (a
+    hot bucket is low-information — members agree on b bits because
+    the region is dense, not because they are near-dups) while cold
+    buckets keep pairing: 50 same-direction vectors produce ZERO
+    candidates under the cap, the isolated twin pair still collides."""
+    base1 = [1.0, 0.2, -0.3, 0.4, 0.1, -0.2, 0.3, 0.5]
+    base2 = [-x for x in base1]          # complement signature
+    rows = [(i, [x * (1 + i * 1e-4) for x in base1]) for i in range(50)]
+    rows += [(100, base2), (101, [x * 1.1 for x in base2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = similarity.srp_candidate_pairs(
+        df, n_bits=8, n_bands=2, dim=8, max_bucket=10).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
+    # without the cap the dense family goes quadratic: C(50,2)+1 pairs
+    uncapped = similarity.srp_candidate_pairs(
+        df, n_bits=8, n_bands=2, dim=8).count()
+    assert uncapped == 50 * 49 // 2 + 1
+    with pytest.raises(ValueError):
+        similarity.srp_candidate_pairs(df, max_bucket=1)
