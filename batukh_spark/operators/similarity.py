@@ -281,20 +281,29 @@ def srp_near_dup_pairs(emb: DataFrame, n_bits: int = 32,
                        n_bands: int = 4, dim: int = 64,
                        threshold: float = 0.9, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       fast: bool = False) -> DataFrame:
     """Embedding near-dup: multi-band SRP-LSH candidates verified by
     exact cosine.  Returns (id_a, id_b, n_shared_bands, cos_sim,
     is_near_dup).  Candidate generation is bucketed (see
     srp_candidate_pairs); the verify join ships vectors for candidates
     only, so the quadratic term is bounded by bucket sizes, not corpus
-    size."""
+    size.
+
+    `fast=True` runs the verification cosine as one numpy batch per
+    Arrow chunk (`_cos_pairs_fast`) instead of interpreted HOF folds
+    per pair — the bulk path for production candidate volumes, with
+    the interpreted form as the oracle-exact default (the
+    assign_ivf_clusters fast/exact split; equality pinned by
+    differential test on the real corpus)."""
     cand = srp_candidate_pairs(emb, n_bits, n_bands, dim, id_col,
                                vec_col, max_bucket=max_bucket)
     vecs = emb.select(F.col(id_col),
                       F.col(vec_col).cast("array<double>").alias("e"))
     a = vecs.alias("va")
     b = vecs.alias("vb")
-    cos = F.round(cosine(F.col("va.e"), F.col("vb.e")), 6)
+    cos = (_cos_pairs_fast(F.col("va.e"), F.col("vb.e")) if fast
+           else F.round(cosine(F.col("va.e"), F.col("vb.e")), 6))
     # cos_sim materializes in its own projection before the flag reads
     # it: referencing the cosine expression twice in one select would
     # run its three interpreted aggregate folds twice per candidate
@@ -501,7 +510,8 @@ def embedding_keep_set(emb: DataFrame, n_bits: int = 32,
                        n_bands: int = 4, dim: int = 64,
                        threshold: float = 0.9, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       fast: bool = False) -> DataFrame:
     """SemDeDup-style per-vector corpus verdict — the embedding-
     granularity twin of the text `dedup.keep_set`, the artifact a
     semantic-dedup pass actually consumes.  Returns (vec_id, keep,
@@ -550,7 +560,7 @@ def embedding_keep_set(emb: DataFrame, n_bits: int = 32,
     pairs = (srp_near_dup_pairs(reps, n_bits=n_bits, n_bands=n_bands,
                                 dim=dim, threshold=threshold,
                                 id_col=id_col, vec_col=vec_col,
-                                max_bucket=max_bucket)
+                                max_bucket=max_bucket, fast=fast)
              .where(F.col("is_near_dup"))
              .select("id_a", "id_b"))
     clusters = resolve_clusters(pairs) \
@@ -800,8 +810,8 @@ def incremental_embedding_keep_set(spark, new_emb: DataFrame,
                                    n_bits: int = 32, n_bands: int = 4,
                                    dim: int = 64,
                                    id_col: str = "vec_id",
-                                   vec_col: str = "embedding"
-                                   ) -> DataFrame:
+                                   vec_col: str = "embedding",
+                                   fast: bool = False) -> DataFrame:
     """Cross-run incremental SemDeDup verdict for NEW vectors against
     a persisted `build_embedding_store` — same (vec_id, keep, reason)
     shape as the whole-corpus `embedding_keep_set`:
@@ -841,7 +851,8 @@ def incremental_embedding_keep_set(spark, new_emb: DataFrame,
     nvecs = new_emb.select(F.col(id_col),
                            F.col(vec_col).cast("array<double>")
                            .alias("__ne"))
-    cos = F.round(cosine(F.col("__ne"), F.col("__he")), 6)
+    cos = (_cos_pairs_fast(F.col("__ne"), F.col("__he")) if fast
+           else F.round(cosine(F.col("__ne"), F.col("__he")), 6))
     near = (cand.join(hvecs, "__hid").join(nvecs, id_col)
             .select(F.col(id_col), cos.alias("__cos"))
             .where(F.col("__cos") > threshold)
@@ -859,3 +870,26 @@ def incremental_embedding_keep_set(spark, new_emb: DataFrame,
             .join(near, id_col, "left")
             .select(F.col(id_col), (reason == "unique").alias("keep"),
                     reason.alias("reason")))
+
+
+@pandas_udf(T.DoubleType())
+def _cos_pairs_fast(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine for candidate VERIFICATION: one numpy batch
+    per Arrow chunk instead of ~3*dim interpreted lambda evals per
+    pair.  Rounding mirrors the engine contract exactly — half-AWAY
+    at 6 decimals (np.round is half-to-even and must not be used).
+    numpy's pairwise-summed dot can differ from the oracle's strict
+    left-to-right sum by ~1e-15 relative, which is invisible after
+    the 1e-6 rounding except on exact rounding boundaries —
+    differential tests pin fast == exact on the real corpus, and the
+    interpreted form remains the oracle-exact default."""
+    ma = np.array([np.asarray(v, dtype="f8") for v in a])
+    mb = np.array([np.asarray(v, dtype="f8") for v in b])
+    num = (ma * mb).sum(axis=1)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    ok = den != 0.0
+    den[~ok] = 1.0
+    s = (num / den) * 1e6
+    out = np.sign(s) * np.floor(np.abs(s) + 0.5) / 1e6
+    out[~ok] = np.nan
+    return pd.Series(out)

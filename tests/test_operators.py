@@ -498,3 +498,26 @@ def test_srp_hot_bucket_guard_bounds_candidates(spark):
     assert uncapped == 50 * 49 // 2 + 1
     with pytest.raises(ValueError):
         similarity.srp_candidate_pairs(df, max_bucket=1)
+
+
+def test_srp_near_dup_fast_equals_exact_on_real_corpus(spark):
+    """The vectorized verify path must produce IDENTICAL rounded
+    cosines and verdicts to the interpreted oracle-exact form on real
+    data (the assign_ivf_clusters fast/exact contract), including
+    planted twins right at high similarity."""
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    twins = (emb.filter(F.col("vec_id") < 50)
+             .select((F.col("vec_id") + 10000).alias("vec_id"),
+                     F.transform(F.col("embedding").cast("array<double>"),
+                                 lambda x: x * 1.0001)
+                     .cast("array<float>").alias("embedding")))
+    aug = emb.unionByName(twins)
+    exact = {(r.id_a, r.id_b): (r.cos_sim, r.is_near_dup)
+             for r in similarity.srp_near_dup_pairs(aug).collect()}
+    fast = {(r.id_a, r.id_b): (r.cos_sim, r.is_near_dup)
+            for r in similarity.srp_near_dup_pairs(aug,
+                                                   fast=True).collect()}
+    assert fast == exact and len(exact) > 1000
