@@ -83,6 +83,16 @@ def main(argv=None) -> int:
                         "embstore output); makes --job semdedup "
                         "incremental: new vectors are deduped against "
                         "the store, not against each other")
+    p.add_argument("--max-bucket", type=int, default=None,
+                   help="--job semdedup: LSH hot-bucket guard — band "
+                        "buckets with more members are excluded from "
+                        "candidate generation (bounds per-probe work "
+                        "at any corpus size; see "
+                        "similarity.srp_candidate_pairs)")
+    p.add_argument("--fast-verify", action="store_true",
+                   help="--job semdedup: vectorized numpy cosine "
+                        "verification (bulk path; differential-tested "
+                        "equal to the oracle-exact interpreted form)")
     p.add_argument("--pq", action="store_true",
                    help="--job annindex: train the IVF-PQ index "
                         "(integer distance-table serving) instead of "
@@ -212,10 +222,12 @@ def _run_training_job(spark, args) -> dict:
         if args.store:
             out = incremental_embedding_keep_set(
                 spark, ext, args.store, threshold=args.threshold,
-                dim=args.dim)
+                dim=args.dim, fast=args.fast_verify)
         else:
             out = embedding_keep_set(ext, dim=args.dim,
-                                     threshold=args.threshold)
+                                     threshold=args.threshold,
+                                     max_bucket=args.max_bucket,
+                                     fast=args.fast_verify)
         n_rows = _write_table(spark, out, args.output)
         written = _read_table(spark, args.output)
         by_reason = {r["reason"]: r["n"] for r in
