@@ -236,3 +236,31 @@ def test_cli_embstore_then_incremental_semdedup(tmp_path):
         f"select reason, count(*) from read_parquet('{out}/*.parquet') "
         f"group by 1").fetchall())
     assert rows == {"exact_dup": 10, "unique": 20}
+
+
+def test_cli_annindex_pq(tmp_path):
+    """annindex --pq trains and persists the IVF-PQ index; layout and
+    code width verified with DuckDB."""
+    src = str(tmp_path / "emb.parquet")
+    idx = str(tmp_path / "idx")
+    base = "/root/testdata/sf0.001/embeddings.parquet"
+    con = duckdb.connect()
+    con.execute(f"""
+        copy (select vec_id, embedding from read_parquet('{base}')
+              where vec_id < 120) to '{src}' (format parquet)
+    """)
+    s = _run(["--job", "annindex", "--pq", "--input", src,
+              "--output", idx, "--parallelism", "8"])
+    assert s["pq"] is True and s["n_vectors"] == 120
+    assert s["index_rows"] == 120
+    n, nb, codes_ok = con.execute(
+        f"select count(*), count(distinct cluster), "
+        f"       bool_and(len(code) = 8 and list_min(code) >= 0 "
+        f"               and list_max(code) < 16) "
+        f"from read_parquet('{idx}/vectors/*/*.parquet', "
+        f"                  hive_partitioning=1)").fetchone()
+    assert n == 120 and nb >= 2 and codes_ok
+    assert con.execute(
+        f"select count(*) from "
+        f"read_parquet('{idx}/pq_codebook/*.parquet')").fetchone()[0] \
+        == 8 * 16
