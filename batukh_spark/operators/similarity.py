@@ -33,6 +33,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2(a) * l2(b))
 
 
+def dot_flat(a: Column, b: Column, dim: int) -> Column:
+    """Bit-exact UNROLLED dot product: the same left-to-right float
+    additions as the `dot` HOF fold — (((0.0 + a0*b0) + a1*b1) + ...)
+    — but as a flat codegen expression instead of an interpreted
+    `aggregate(zip_with(...))` (higher-order functions are
+    CodegenFallback in Spark; on the candidate-verify hot path the
+    interpreted fold evaluates ~3*dim lambda closures per pair).
+
+    Semantics note: the HOF zips to the actual array lengths, so two
+    equally-short vectors would fold fewer terms; this form indexes
+    [0, dim) and yields NULL when any index is missing — for wrong-dim
+    input (which `embedding_audit` gates out) NULL is the safer
+    verdict, and for dim-length input the result is bit-identical."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i) * b.getItem(i)
+    return acc
+
+
+def cosine_flat(a: Column, b: Column, dim: int) -> Column:
+    """Bit-exact codegen twin of `cosine` for dim-length vectors (see
+    dot_flat for the exactness argument; division/sqrt shapes match
+    the HOF form term for term)."""
+    return dot_flat(a, b, dim) / (F.sqrt(dot_flat(a, a, dim))
+                                  * F.sqrt(dot_flat(b, b, dim)))
+
+
 def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
@@ -189,23 +216,16 @@ def _srp_sign(j: int, i: int) -> int:
     return 1 if h[0] in "89abcdef" else -1
 
 
-def srp_signature(emb: DataFrame, n_bits: int = 16, dim: int = 64,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """Sign-random-projection LSH signature: bit j = [dot(v, h_j) > 0]
-    with Rademacher hyperplanes h_j (see _srp_sign).  Collision
-    probability per bit is 1 - theta/pi, so equal signatures <=> small
-    angle — the standard cosine-LSH family.
-
-    The signs are baked in as literals, so each bit is a flat codegen'd
-    sum of +/- e[i] terms (left-to-right, matching the oracle's
-    list_sum order) — no interpreted higher-order functions in the hot
-    path.  Scan-local: computes with zero shuffle.
-
-    The double-cast of the vector is staged into its own projection:
-    the flat sum references e[i] n_bits*dim times, and an inlined
-    cast-tree re-converts the whole array PER TERM (measured 17s ->
-    sub-second for 2k vectors at 32 bits x 64 dims)."""
+def srp_signature_expr(emb: DataFrame, n_bits: int = 16, dim: int = 64,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Catalyst-expression form of `srp_signature` — bit j is a flat
+    codegen'd sum of +/- e[i] terms (left-to-right, matching the
+    oracle's list_sum order).  Executes fast once planned, but the
+    n_bits x dim expression TREE costs seconds of driver-side
+    analysis/optimization per fresh plan (measured ~7.5s at 32x64),
+    which a query pays on every invocation.  Kept as the
+    reference/differential twin of the Arrow form below."""
     pre = emb.select(F.col(id_col),
                      F.col(vec_col).cast("array<double>").alias("__e"))
     e = F.col("__e")
@@ -217,6 +237,82 @@ def srp_signature(emb: DataFrame, n_bits: int = 16, dim: int = 64,
             acc = term if acc is None else acc + term
         bits.append(F.when(acc > 0, "1").otherwise("0"))
     return pre.select(F.col(id_col), F.concat(*bits).alias("sig"))
+
+
+def _srp_sign_rows(n_bits: int, dim: int) -> list:
+    """+1/-1 hyperplane rows for srp_signature (md5-derived, cached)."""
+    key = (n_bits, dim)
+    cache = _srp_sign_rows.__dict__.setdefault("_cache", {})
+    if key not in cache:
+        cache[key] = [[_srp_sign(j, i) for i in range(dim)]
+                      for j in range(n_bits)]
+    return cache[key]
+
+
+def srp_signature(emb: DataFrame, n_bits: int = 16, dim: int = 64,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Sign-random-projection LSH signature: bit j = [dot(v, h_j) > 0]
+    with Rademacher hyperplanes h_j (see _srp_sign).  Collision
+    probability per bit is 1 - theta/pi, so equal signatures <=> small
+    angle — the standard cosine-LSH family.
+
+    Computed as ONE vectorized Arrow batch op: the accumulation loops
+    over the dim axis with numpy (vectorized across rows), so each
+    row's per-bit sum is the IDENTICAL left-to-right float addition
+    chain as the expression form / the oracle's list_sum — IEEE adds
+    in the same order, bit-for-bit equal (srp_signature_expr is the
+    differential twin; equality pinned by tests).  The expression form
+    was measured at ~7.5s of driver-side Catalyst analysis per fresh
+    32x64 plan — a per-query planning tax this removes entirely.
+    Scan-local: computes with zero shuffle.
+
+    Degenerate rows mirror the expression form exactly (pinned by a
+    differential test incl. NULL/NaN/zero fixtures): a NULL vector or
+    one containing a NULL element yields the all-'0' signature (NULL
+    sums fail the `> 0` gate into the '0' branch); NaN sums yield '1'
+    bits (Spark orders NaN above every numeric, so `NaN > 0` is
+    true).  One deliberate divergence: a vector SHORTER than `dim`
+    also degrades to the all-'0' signature here, where the expression
+    form's out-of-range getItem raises an ANSI index error — audit
+    dims with `embedding_audit` if wrong-dim input should fail
+    loudly."""
+    sign_rows = _srp_sign_rows(n_bits, dim)
+
+    @pandas_udf(T.StringType())
+    def _sig(vs: pd.Series, is_bad: pd.Series) -> pd.Series:
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        mat = np.zeros((n, dim), dtype="f8")
+        bad = is_bad.to_numpy(dtype=bool, na_value=True)
+        for r, v in enumerate(vs):
+            if bad[r]:
+                continue
+            mat[r] = np.asarray(v[:dim] if len(v) > dim else v,
+                                dtype="f8")
+        bits = np.empty((n, n_bits), dtype=bool)
+        for j in range(n_bits):
+            acc = np.zeros(n)
+            row = sign_rows[j]
+            for i in range(dim):
+                col = mat[:, i]
+                acc = acc + (col if row[i] > 0 else -col)
+            # NaN > 0 is TRUE under Spark/DuckDB NaN-greatest ordering
+            bits[:, j] = (acc > 0) | np.isnan(acc)
+        bits[bad, :] = False
+        chars = np.where(bits, "1", "0")
+        return pd.Series(["".join(r) for r in chars])
+
+    v = F.col(vec_col).cast("array<double>")
+    # a NULL vector, short vector, or NULL element nulls the whole sum
+    # in the expression form, landing every bit in the '0' branch —
+    # the flag reproduces that exactly (Arrow would otherwise fold
+    # element-NULLs into NaN, which sits in the '1' branch instead)
+    bad = (v.isNull() | (F.size(v) < dim)
+           | F.coalesce(F.exists(F.slice(v, 1, dim),
+                                 lambda x: x.isNull()), F.lit(False)))
+    return emb.select(F.col(id_col), _sig(v, bad).alias("sig"))
 
 
 def srp_candidate_pairs(emb: DataFrame, n_bits: int = 32,
@@ -255,9 +351,18 @@ def srp_candidate_pairs(emb: DataFrame, n_bits: int = 32,
     sigs = srp_signature(emb, n_bits, dim, id_col, vec_col)
     band_cols = [F.substring("sig", b * rows_per_band + 1, rows_per_band)
                  for b in range(n_bands)]
+    # materialize the band table ONCE: the self-join below references
+    # it on BOTH sides, and the n_bits x dim flat-sum signature subtree
+    # is opaque enough that the planner re-executes it per side (no
+    # ReusedExchange fires — measured as ~2x the signature cost inside
+    # candidate generation).  The checkpoint holds (id, band_id,
+    # band_sig) — n_bands short rows per vector, a tiny fraction of
+    # the corpus bytes, exactly what build_embedding_store persists
+    # for the same reason.
     bands = sigs.select(
         F.col(id_col),
-        F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"))
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig")) \
+        .localCheckpoint()
     if max_bucket is not None:
         if not (isinstance(max_bucket, int) and max_bucket >= 2):
             raise ValueError(f"max_bucket must be an int >= 2 or None, "
@@ -302,11 +407,15 @@ def srp_near_dup_pairs(emb: DataFrame, n_bits: int = 32,
                       F.col(vec_col).cast("array<double>").alias("e"))
     a = vecs.alias("va")
     b = vecs.alias("vb")
+    # default verify path is the UNROLLED codegen cosine — bit-exact
+    # to the interpreted HOF fold (see cosine_flat) with no lambda
+    # interpretation per pair; `fast` keeps the numpy batch variant
+    # for callers that prefer the Python-vectorized path
     cos = (_cos_pairs_fast(F.col("va.e"), F.col("vb.e")) if fast
-           else F.round(cosine(F.col("va.e"), F.col("vb.e")), 6))
+           else F.round(cosine_flat(F.col("va.e"), F.col("vb.e"), dim), 6))
     # cos_sim materializes in its own projection before the flag reads
     # it: referencing the cosine expression twice in one select would
-    # run its three interpreted aggregate folds twice per candidate
+    # evaluate the whole unrolled sum twice per candidate
     return (cand
             .join(a, cand.id_a == F.col(f"va.{id_col}"))
             .join(b, cand.id_b == F.col(f"vb.{id_col}"))
@@ -550,16 +659,27 @@ def embedding_keep_set(emb: DataFrame, n_bits: int = 32,
     should be audited out first via `embedding_audit` — a zero vector
     has undefined cosine and never verifies as near_dup."""
     from batukh_spark.operators.dedup import resolve_clusters
-    hashes = emb.select(F.col(id_col),
+    # ONE corpus scan: (id, vector, identity hash) materializes once
+    # and feeds every consumer below — the un-checkpointed form
+    # re-executed the input lineage four times (hash pass, rep
+    # semi-join, and both sides of the candidate verify), i.e. four
+    # full corpus scans at production scale.  Executor-local storage
+    # holds id + dim doubles + 32B hash per vector — the same budget
+    # build_embedding_store commits to disk for the incremental path.
+    vecsh = (emb.select(F.col(id_col),
+                        F.col(vec_col).cast("array<double>").alias("__e"),
                         vec_hash(F.col(vec_col)).alias("__vh"))
+             .localCheckpoint())
+    hashes = vecsh.select(F.col(id_col), F.col("__vh"))
     exact = hashes.groupBy("__vh").agg(F.min(id_col).alias("keep_id"))
     with_exact = hashes.join(exact, "__vh") \
         .select(F.col(id_col), F.col("keep_id"))
-    reps = emb.join(exact.select(F.col("keep_id").alias(id_col)),
-                    id_col, "left_semi")
+    reps = (vecsh.select(F.col(id_col), F.col("__e"))
+            .join(exact.select(F.col("keep_id").alias(id_col)),
+                  id_col, "left_semi"))
     pairs = (srp_near_dup_pairs(reps, n_bits=n_bits, n_bands=n_bands,
                                 dim=dim, threshold=threshold,
-                                id_col=id_col, vec_col=vec_col,
+                                id_col=id_col, vec_col="__e",
                                 max_bucket=max_bucket, fast=fast)
              .where(F.col("is_near_dup"))
              .select("id_a", "id_b"))
@@ -833,7 +953,18 @@ def incremental_embedding_keep_set(spark, new_emb: DataFrame,
     the store's band table; vectors ship for COLLIDING candidates
     only (a key join against the store's vector table, bounded by
     bucket sizes, never |new| x |store|)."""
-    sigs = srp_signature(new_emb, n_bits, dim, id_col, vec_col)
+    # materialize the NEW batch's (id, vector) ONCE: three subplans
+    # consume it (signatures, identity hashes, cosine verify), and the
+    # arrival-construction lineage would otherwise re-execute per
+    # consumer — three scans of the new batch instead of one.  The
+    # checkpoint is the batch itself (the small side of incremental
+    # dedup by design), never the store.  The double-cast is a no-op
+    # for already-double input, so signature/hash bits are unchanged.
+    nvecs = (new_emb.select(F.col(id_col),
+                            F.col(vec_col).cast("array<double>")
+                            .alias("__ne"))
+             .localCheckpoint())
+    sigs = srp_signature(nvecs, n_bits, dim, id_col, "__ne")
     rpb = n_bits // n_bands
     band_cols = [F.substring("sig", b * rpb + 1, rpb)
                  for b in range(n_bands)]
@@ -848,11 +979,9 @@ def incremental_embedding_keep_set(spark, new_emb: DataFrame,
     hvecs = (spark.read.parquet(f"{store_dir}/vecs")
              .select(F.col("vec_id").alias("__hid"),
                      F.col("e").alias("__he")))
-    nvecs = new_emb.select(F.col(id_col),
-                           F.col(vec_col).cast("array<double>")
-                           .alias("__ne"))
+    # unrolled codegen cosine — bit-exact to the HOF fold (cosine_flat)
     cos = (_cos_pairs_fast(F.col("__ne"), F.col("__he")) if fast
-           else F.round(cosine(F.col("__ne"), F.col("__he")), 6))
+           else F.round(cosine_flat(F.col("__ne"), F.col("__he"), dim), 6))
     near = (cand.join(hvecs, "__hid").join(nvecs, id_col)
             .select(F.col(id_col), cos.alias("__cos"))
             .where(F.col("__cos") > threshold)
@@ -861,8 +990,8 @@ def incremental_embedding_keep_set(spark, new_emb: DataFrame,
     exact_store = (spark.read.parquet(f"{store_dir}/exact")
                    .select(F.col("vec_hash").alias("__vh"))
                    .withColumn("__exact", F.lit(True)))
-    hashes = new_emb.select(F.col(id_col),
-                            vec_hash(F.col(vec_col)).alias("__vh"))
+    hashes = nvecs.select(F.col(id_col),
+                          vec_hash(F.col("__ne")).alias("__vh"))
     reason = (F.when(F.col("__exact"), "exact_dup")
               .when(F.col("__near"), "near_dup")
               .otherwise("unique"))
@@ -891,5 +1020,10 @@ def _cos_pairs_fast(a: pd.Series, b: pd.Series) -> pd.Series:
     den[~ok] = 1.0
     s = (num / den) * 1e6
     out = np.sign(s) * np.floor(np.abs(s) + 0.5) / 1e6
-    out[~ok] = np.nan
-    return pd.Series(out)
+    # zero-norm pairs must be NULL, not NaN: the exact path's 0/0 is
+    # NULL in Spark SQL, and NaN would sort ABOVE every threshold
+    # (NaN > x is true in Spark's ordering), silently flipping the
+    # is_near_dup verdict for degenerate vectors on the fast path
+    res = pd.Series(out)
+    res[~ok] = None
+    return res

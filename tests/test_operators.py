@@ -223,7 +223,62 @@ def test_srp_signature_buckets_identical_vectors(emb):
     assert len(hit) == 1 and hit[0].cos_sim == 1.0 and hit[0].is_near_dup
 
 
-def test_token_counts(spark):
+def test_srp_signature_arrow_equals_expression_form(spark):
+    """The vectorized Arrow srp_signature (round-7: removes the
+    ~seconds-per-plan Catalyst analysis tax of the n_bits x dim
+    expression tree) must be BIT-IDENTICAL to the expression form —
+    same left-to-right float accumulation per bit — including the
+    degenerate rows: NULL vector and NULL-element vectors land every
+    bit in the '0' branch, all-NaN sums land in the '1' branch
+    (Spark orders NaN above every numeric), subnormal magnitudes keep
+    their sign."""
+    rows = [(1, [0.5] * 64), (2, None),
+            (4, [0.5] * 63 + [None]), (5, [float("nan")] * 64),
+            (6, [0.0] * 64), (7, [-1.0] + [0.0] * 63),
+            (8, [0.5] * 70),
+            (9, [1e-300] * 64), (10, [-1e-300] * 64)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    new = {r.vec_id: r.sig
+           for r in similarity.srp_signature(df, 32, 64).collect()}
+    old = {r.vec_id: r.sig
+           for r in similarity.srp_signature_expr(df, 32, 64).collect()}
+    assert new == old
+    assert new[2] == "0" * 32 and new[4] == "0" * 32
+    assert new[5] == "1" * 32
+    # real-corpus differential: every signature bit-equal
+    emb8 = spark.createDataFrame(
+        [(i, [((i * 31 + j * 7) % 13 - 6) / 5.0 for j in range(64)])
+         for i in range(80)], "vec_id int, embedding array<double>")
+    n2 = {r.vec_id: r.sig
+          for r in similarity.srp_signature(emb8, 32, 64).collect()}
+    o2 = {r.vec_id: r.sig
+          for r in similarity.srp_signature_expr(emb8, 32, 64).collect()}
+    assert n2 == o2
+    # short vectors: documented divergence — the Arrow form degrades
+    # to the all-'0' signature where the expression form's
+    # out-of-range getItem raises an ANSI index error
+    short = spark.createDataFrame([(3, [0.5] * 10)],
+                                  "vec_id int, embedding array<double>")
+    assert similarity.srp_signature(short, 32, 64) \
+        .collect()[0].sig == "0" * 32
+
+
+def test_cos_pairs_fast_null_on_zero_norm(spark):
+    """fast-verify cosine must yield NULL (not NaN) for zero-norm
+    pairs so the fast path's is_near_dup verdict matches the exact
+    path on degenerate input (NaN > threshold is TRUE under Spark's
+    NaN-greatest ordering — the silent flip this pins against)."""
+    rows = [(1, 2, [1.0] * 8, [1.0] * 8),
+            (3, 4, [0.0] * 8, [1.0] * 8),
+            (5, 6, [0.0] * 8, [0.0] * 8)]
+    df = spark.createDataFrame(
+        rows, "id_a int, id_b int, ea array<double>, eb array<double>")
+    out = {(r.id_a, r.id_b): r.c for r in df.select(
+        "id_a", "id_b",
+        similarity._cos_pairs_fast(F.col("ea"), F.col("eb")).alias("c"))
+        .collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(3, 4)] is None and out[(5, 6)] is None
     df = spark.createDataFrame([(1, "Hello world, 42 times!")],
                                "doc_id long, text string")
     r = textstats.token_counts(df).collect()[0]
