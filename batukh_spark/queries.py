@@ -3107,8 +3107,10 @@ def repetition_loops_q(spark, sf):
     (partial overlap); the base 3-turn conversations have no same-role
     adjacency, so every output row is a planted comparison."""
     from batukh_spark.operators.conversations import repetition_loops
+    # localCheckpoint: ext feeds four union branches — one kernel run,
+    # not one per branch (opaque mapInArrow defeats subtree reuse)
     ext = extract_transcripts(spark, sf).select(
-        "conv_id", "turn_idx", "role", "extracted_text")
+        "conv_id", "turn_idx", "role", "extracted_text").localCheckpoint()
     num = F.substring("conv_id", 2, 100).cast("long")
     asst = ext.filter(F.col("turn_idx") == 1)
     dup = asst.filter(num % 13 == 0).select(
@@ -3233,8 +3235,11 @@ def merge_turns_q(spark, sf):
     produce the same maximal runs, first-turn indices, newline-joined
     texts, and merge counts."""
     from batukh_spark.operators.conversations import merge_consecutive_turns
+    # localCheckpoint: ext feeds FOUR union branches below, and the
+    # opaque mapInArrow kernel is re-executed per consumer (no subtree
+    # reuse across union arms) — the barrier runs the kernel once
     ext = extract_transcripts(spark, sf).select(
-        "conv_id", "turn_idx", "role", "extracted_text")
+        "conv_id", "turn_idx", "role", "extracted_text").localCheckpoint()
     num = F.substring("conv_id", 2, 100).cast("long")
     t1 = ext.filter(F.col("turn_idx") == 1)
     p3 = t1.filter(num % 13 == 0).select(
@@ -4105,10 +4110,13 @@ def conversation_keep_set_q(spark, sf):
     the verdict matches whatever the banding decides)."""
     from batukh_spark.operators.conversations import assemble_conversations
     num = F.substring("conv_id", 2, 100).cast("long")
+    # localCheckpoint: conv feeds three union branches (base + both
+    # planted-twin arms) — one kernel+assembly run, not three
     conv = (assemble_conversations(extract_transcripts(spark, sf))
             .select(F.col("conv_id").alias("doc_id"),
                     F.col("doc_text").alias("text"),
-                    num.alias("__n")))
+                    num.alias("__n"))
+            .localCheckpoint())
     twins = conv.filter(F.col("__n") % 25 == 0).select(
         F.concat("doc_id", F.lit("_x")).alias("doc_id"), "text")
     near = conv.filter(F.col("__n") % 37 == 0).select(
@@ -4192,13 +4200,17 @@ def sft_mix_q(spark, sf):
     (span_end - span_start telescopes to plen - hlen), making it an
     independent derivation of the Spark side's windowed arithmetic."""
     from batukh_spark.mix import sft_mix
+    # localCheckpoint: ext feeds the twin-construction assembly AND
+    # sft_mix's own assembly + loss-mask span pass — one kernel run
+    # (mix.py's documented materialized-input contract)
     ext = extract_transcripts(spark, sf).select(
-        "conv_id", "turn_idx", "role", "extracted_text")
+        "conv_id", "turn_idx", "role", "extracted_text").localCheckpoint()
     from batukh_spark.operators.conversations import assemble_conversations
     conv = assemble_conversations(ext).select(
         F.col("conv_id").alias("doc_id"),
         F.col("doc_text").alias("text"),
-        F.substring("doc_id", 2, 100).cast("long").alias("__n"))
+        F.substring("doc_id", 2, 100).cast("long").alias("__n")) \
+        .localCheckpoint()
     twins = conv.filter(F.col("__n") % 25 == 0).select(
         F.concat("doc_id", F.lit("_x")).alias("doc_id"), "text")
     near = conv.filter(F.col("__n") % 37 == 0).select(
@@ -4320,9 +4332,11 @@ def _response_cands(spark, sf):
     (best_of_n, preference_pairs): each conversation's assistant turn
     spawns three scored candidates — original, half-truncation,
     self-repetition — ranked by quality_score."""
+    # localCheckpoint: three candidate branches consume ext — one
+    # kernel run, not three (opaque mapInArrow defeats subtree reuse)
     ext = (extract_transcripts(spark, sf)
            .filter(F.col("turn_idx") == 1)
-           .select("conv_id", "extracted_text"))
+           .select("conv_id", "extracted_text").localCheckpoint())
     from batukh_spark.operators.text import tokens_col
     tk = tokens_col("extracted_text")
     half = F.array_join(
@@ -4419,8 +4433,10 @@ def packed_loss_masks_q(spark, sf):
     window offsets -> conversation stream prefix sum -> generate_series
     sequence overlaps -> interval intersection."""
     from batukh_spark.operators.conversations import packed_loss_masks
+    # localCheckpoint: the operator consumes its input twice (per-turn
+    # offsets + conversation totals) — one kernel run, not two
     ext = extract_transcripts(spark, sf).select(
-        "conv_id", "turn_idx", "role", "extracted_text")
+        "conv_id", "turn_idx", "role", "extracted_text").localCheckpoint()
     return packed_loss_masks(ext, seq_len=128)
 
 
@@ -4519,9 +4535,13 @@ def _trace_turns(spark, sf):
     drops it) and planted anomalies — conv%7==0 gets a failing tool
     turn (ERROR marker appended), conv%9==0 gets a SECOND tool (a
     'calc' turn whose text is a Traceback), conv%11==0 gets a
-    user->user double-send (turns 3 and 4)."""
+    user->user double-send (turns 3 and 4).
+
+    ext is localCheckpointed: FOUR union branches consume it, and the
+    opaque mapInArrow kernel re-executes per consumer without the
+    barrier (measured 4x the kernel cost on every trace query)."""
     ext = extract_transcripts(spark, sf).select(
-        "conv_id", "turn_idx", "role", "extracted_text")
+        "conv_id", "turn_idx", "role", "extracted_text").localCheckpoint()
     num = F.substring("conv_id", 2, 100).cast("long")
     base = ext.select(
         "conv_id", "turn_idx", "role",
@@ -4642,8 +4662,10 @@ def sft_samples_q(spark, sf):
     exactly consistent with assembly
     (operators/conversations.sft_samples)."""
     from batukh_spark.operators.conversations import sft_samples
+    # localCheckpoint: sft_samples consumes its input twice (span
+    # offsets + document assembly) — one kernel run, not two
     ext = extract_transcripts(spark, sf).select(
-        "conv_id", "turn_idx", "role", "extracted_text")
+        "conv_id", "turn_idx", "role", "extracted_text").localCheckpoint()
     return sft_samples(ext)
 
 
