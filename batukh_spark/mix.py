@@ -82,12 +82,20 @@ def training_mix(docs: DataFrame, rates: dict[str, float],
         kept = (kept.join(dec.filter(~F.col("contaminated"))
                           .select(id_col), id_col)
                 .localCheckpoint())
-    q = textstats.quality_score(kept, id_col, text_col) \
-        .select(id_col, "quality")
-    lang = textstats.lang_id(kept, id_col, text_col) \
-        .select(id_col, "pred_lang")
+    # enrich IN PLACE via passthrough (round 7): quality and language
+    # annotate the same frame as consecutive narrow projections that
+    # fuse into one scan — the previous (id, metric) + join-back form
+    # traversed `kept` three times (quality scan, lang scan, join base)
+    # and paid two joins per enrichment
+    passthrough = tuple(c for c in kept.columns if c != id_col)
+    q = textstats.quality_score(kept, id_col, text_col,
+                                passthrough=passthrough) \
+        .select(id_col, *passthrough, "quality")
+    ql = textstats.lang_id(q, id_col, text_col,
+                           passthrough=passthrough + ("quality",)) \
+        .select(id_col, *passthrough, "quality", "pred_lang")
     if keep_unknown_lang:
-        lang = lang.withColumn(
+        ql = ql.withColumn(
             "pred_lang", F.coalesce(F.col("pred_lang"), F.lit("und")))
     # localCheckpoint BEFORE filtering on the computed columns:
     # predicate pushdown would otherwise collapse the full quality /
@@ -96,7 +104,7 @@ def training_mix(docs: DataFrame, rates: dict[str, float],
     # re-evaluated per reference — measured 100x on the gate stage
     # (64s -> 0.6s on a 5k-doc corpus).  The barrier makes the filter
     # see plain materialized columns.
-    enriched = kept.join(q, id_col).join(lang, id_col).localCheckpoint()
+    enriched = ql.localCheckpoint()
     gated = enriched.filter((F.col("quality") >= quality_min)
                             & F.col("pred_lang").isNotNull())
     # `sampled` feeds both chunking and the final metadata join

@@ -17,8 +17,12 @@ signature (already tiny), not the text.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from batukh_spark.operators.text import tokens_col, word_shingles
 
@@ -66,7 +70,12 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
     (O(n^2); measured ~5x on the whole chain)."""
     toked = docs.select(F.col(id_col),
                         tokens_col(text_col).alias("__tk"))
-    sh = word_shingles(F.col("__tk"))
+    # distinct BEFORE the explode: min over the distinct shingle SET
+    # equals min over the multiset, so dropping repeats is exact — and
+    # every dropped repeat saves n_hashes md5 evaluations.  Templated/
+    # repetitive corpora (e.g. assembled conversation docs whose turns
+    # share the same source words) measure 2-3x fewer exploded rows.
+    sh = F.array_distinct(word_shingles(F.col("__tk")))
     exploded = toked.select(F.col(id_col), F.explode(sh).alias("g"))
     aggs = [F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g"))))
             .alias(f"h{s}") for s in range(n_hashes)]
@@ -194,21 +203,12 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
         f"resolve_clusters: not converged after {max_iters} iterations")
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text",
-            bits: int = SIMHASH_BITS) -> DataFrame:
-    """(id, simhash: string of '0'/'1') — bit j votes +1 when the j-th
-    hex char of the token's 64-char hash (md5(t) || md5('x:' || t)) is
-    >= '8'.  Two md5s per token yield the full 64-bit Charikar width;
-    scan-local (zero shuffle).
-
-    Staged projections: the per-token hash array is materialized ONCE
-    as a column before the 64 bit-vote folds — the bit_votes lambda
-    holds the hash array as a free subexpression, and interpreted HOFs
-    re-evaluate free subtrees per element, so an inlined tree would
-    recompute every token's two md5s PER BIT (64x; this is also why
-    the round-3 codegen rewrite only measured 1.2x — it was compared
-    against this hidden multiplier)."""
+def simhash_expr(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 bits: int = SIMHASH_BITS) -> DataFrame:
+    """Catalyst-expression form of `simhash` — bits x tokens
+    interpreted fold evaluations per doc.  Kept as the differential
+    twin of the Arrow form below; tests pin equality."""
     pre = docs.select(F.col(id_col), tokens_col(text_col).alias("__tk"))
     hashed = pre.select(
         F.col(id_col),
@@ -227,6 +227,50 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     sig = F.concat_ws("", F.transform(
         bit_votes, lambda v: F.when(v > 0, "1").otherwise("0")))
     return hashed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash: string of '0'/'1') — bit j votes +1 when the j-th
+    hex char of the token's 64-char hash (md5(t) || md5('x:' || t)) is
+    >= '8'.  Two md5s per token yield the full 64-bit Charikar width;
+    scan-local (zero shuffle).
+
+    The md5s stay in JVM codegen (staged as a column — an inlined tree
+    would recompute every token's two md5s PER BIT); the bit VOTING is
+    one vectorized Arrow batch op instead of bits x tokens interpreted
+    fold evaluations per doc.  Votes are integer sums — order-
+    independent — so the Arrow tally is EXACTLY the expression form's
+    (simhash_expr, the differential twin pinned by tests); hex chars
+    voting +1 are '8','9','a'-'f', i.e. byte >= 0x38 ('8') among md5's
+    [0-9a-f] alphabet.  A NULL text / empty token array yields the
+    all-'0' signature in both forms (NULL votes land in the '0'
+    branch)."""
+
+    @pandas_udf(T.StringType())
+    def _vote(hs: pd.Series) -> pd.Series:
+        out = []
+        for v in hs:
+            if v is None or len(v) == 0:
+                out.append("0" * bits)
+                continue
+            m = len(v)
+            arr = np.frombuffer("".join(v).encode("ascii"),
+                                dtype=np.uint8).reshape(m, 64)[:, :bits]
+            votes = 2 * (arr >= 56).sum(axis=0) - m
+            out.append("".join(np.where(votes > 0, "1", "0")))
+        return pd.Series(out)
+
+    pre = docs.select(F.col(id_col), tokens_col(text_col).alias("__tk"))
+    hashed = pre.select(
+        F.col(id_col),
+        F.transform(F.col("__tk"),
+                    lambda t: F.concat(F.md5(t),
+                                       F.md5(F.concat(F.lit("x:"), t))))
+        .alias("__hs"))
+    return hashed.select(F.col(id_col),
+                         _vote(F.col("__hs")).alias("simhash"))
 
 
 def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -273,13 +317,17 @@ def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def hamming(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Hamming distance between two '0'/'1' signature strings."""
-    idx = F.sequence(F.lit(1), F.lit(bits))
-    return F.aggregate(
-        idx, F.lit(0),
-        lambda acc, j: acc + F.when(
-            F.substring(a, j.cast("int"), F.lit(1))
-            != F.substring(b, j.cast("int"), F.lit(1)), 1).otherwise(0))
+    """Hamming distance between two '0'/'1' signature strings.
+
+    Flat codegen sum of per-position compares — integer addition is
+    order-independent, so this is exactly the interpreted
+    `aggregate(sequence(...))` fold it replaced, without evaluating
+    2*bits lambda closures per candidate pair."""
+    acc: Column = F.lit(0)
+    for j in range(1, bits + 1):
+        acc = acc + F.when(F.substring(a, j, 1) != F.substring(b, j, 1),
+                           1).otherwise(0)
+    return acc
 
 
 def keep_set(docs: DataFrame, id_col: str = "doc_id",
@@ -314,9 +362,15 @@ def keep_set(docs: DataFrame, id_col: str = "doc_id",
     measured ~2.4x here) that factor comes straight off the dominant
     cost; the price is one key semi-join of the corpus against the rep
     ids."""
+    # materialize the (id, 32B hash) table ONCE: the verdict assembly
+    # consumes it on two subplans (the exact groupBy and the keep_id
+    # join), and without the barrier each consumer re-runs the corpus
+    # scan + canonicalization + md5 — the checkpoint is metadata-sized
+    # at any corpus scale
     hashes = docs.select(
         F.col(id_col),
-        F.md5(canonical_text(F.col(text_col))).alias("text_hash"))
+        F.md5(canonical_text(F.col(text_col))).alias("text_hash")) \
+        .localCheckpoint()
     exact = hashes.groupBy("text_hash").agg(F.min(id_col).alias("keep_id"))
     with_exact = hashes.join(exact, "text_hash") \
         .select(F.col(id_col), F.col("keep_id"))

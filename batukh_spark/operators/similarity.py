@@ -126,20 +126,12 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 2,
     return cents
 
 
-def _assign(q: DataFrame, cents: DataFrame, id_col: str = "vec_id",
-            keep_q: bool = False, dim: int = 64, k: int = 8) -> DataFrame:
-    """(id, q:quantized vec) x centroid table -> (id, cluster) by cosine
-    argmax; broadcast join + scan-local argmax, first-max tie-break.
-    keep_q carries the vector through so a Lloyd recenter needs no
-    re-join back to the source.
-
-    This is the ORACLE-EXACT form: the HOF cosine accumulates strictly
-    left-to-right, matching DuckDB's list_sum order bit-for-bit.  HOF
-    lambdas execute interpreted, so for bulk production assignment use
-    `assign_ivf_clusters_fast` (numpy matmul over Arrow batches, ~10x);
-    tests pin fast == exact on real data.  (A fully codegen'd unrolled
-    form was measured SLOWER end-to-end: a ~1500-node expression tree
-    per assignment blows up Catalyst/Janino compile time.)"""
+def _assign_expr(q: DataFrame, cents: DataFrame, id_col: str = "vec_id",
+                 keep_q: bool = False, dim: int = 64,
+                 k: int = 8) -> DataFrame:
+    """Catalyst-expression form of `_assign` (see below) — HOF cosine
+    per centroid, interpreted per element.  Kept as the differential
+    twin of the Arrow form; tests pin equality."""
     packed = cents.groupBy().agg(
         F.sort_array(F.collect_list(F.struct("c_id", "c_vec")))
         .alias("cents"))
@@ -153,6 +145,81 @@ def _assign(q: DataFrame, cents: DataFrame, id_col: str = "vec_id",
     if keep_q:
         cols.append(F.col("q"))
     return scored.select(*cols)
+
+
+def _assign(q: DataFrame, cents: DataFrame, id_col: str = "vec_id",
+            keep_q: bool = False, dim: int = 64, k: int = 8) -> DataFrame:
+    """(id, q:quantized vec) x centroid table -> (id, cluster) by cosine
+    argmax, first-max tie-break.  keep_q carries the vector through so
+    a Lloyd recenter needs no re-join back to the source.
+
+    ORACLE-EXACT Arrow form: the k-row codebook collects to the driver
+    (the same planning-collect class as ivf_topk's probe ranking) and
+    each Arrow batch scores all k cosines with STRICTLY left-to-right
+    accumulation over the dim axis — numpy ops vectorize across rows
+    while the per-row float addition chain is the identical IEEE
+    sequence as the HOF fold / DuckDB's list_sum, so assignments are
+    bit-equal to `_assign_expr` (pinned by differential test).  The
+    expression form interprets k x dim lambda evals per vector; this
+    removes that while keeping the bit-exactness `assign_ivf_clusters_
+    fast` (matmul; pairwise summation) cannot guarantee.
+
+    Degenerate rows: a zero-norm vector gets a NULL cluster here where
+    the expression form RAISES under ANSI (double division by zero) —
+    the graceful verdict for input `embedding_audit` flags anyway; a
+    zero-norm CENTROID is masked out of the argmax."""
+    rows = sorted(cents.collect(), key=lambda r: r.c_id)  # k rows (tiny)
+    cvecs = [[float(v) for v in r.c_vec] for r in rows]
+
+    def _py_l2sq(c):
+        s = 0.0
+        for x in c:
+            s = s + x * x
+        return s
+
+    cnorm2 = [_py_l2sq(c) for c in cvecs]  # exact LTR, like l2(c_vec)
+
+    @pandas_udf(T.IntegerType())
+    def _best(qs: pd.Series) -> pd.Series:
+        n = len(qs)
+        if n == 0:
+            return pd.Series([], dtype="Int32")
+        mat = np.empty((n, dim), dtype="f8")
+        bad = np.zeros(n, dtype=bool)
+        for r, v in enumerate(qs):
+            if v is None or len(v) != dim:
+                bad[r] = True
+                mat[r] = 0.0
+                continue
+            mat[r] = np.asarray(v, dtype="f8")
+        qn2 = np.zeros(n)
+        for i in range(dim):
+            col = mat[:, i]
+            qn2 = qn2 + col * col          # LTR over dim, as the fold
+        qn = np.sqrt(qn2)
+        best = np.full(n, -1, dtype="i8")
+        bestsim = np.full(n, -np.inf)
+        for j, c in enumerate(cvecs):
+            if cnorm2[j] == 0.0:
+                continue                   # NULL sims: skipped by max
+            acc = np.zeros(n)
+            for i in range(dim):
+                acc = acc + mat[:, i] * c[i]   # LTR over dim
+            sims = acc / (qn * np.sqrt(cnorm2[j]))
+            with np.errstate(invalid="ignore"):
+                upd = sims > bestsim       # strict >: first-max wins
+            upd &= ~np.isnan(sims)
+            best[upd] = j
+            bestsim[upd] = sims[upd]
+        out = pd.array(best.astype("int32"), dtype="Int32")
+        out[bad | (best < 0)] = None
+        return pd.Series(out)
+
+    qd = F.transform(F.col("q"), lambda x: x.cast("double"))
+    cols = [F.col(id_col), _best(qd).alias("cluster")]
+    if keep_q:
+        cols.append(F.col("q"))
+    return q.select(*cols)
 
 
 def assign_ivf_clusters_fast(emb: DataFrame, n_centroids: int = 8,

@@ -12,9 +12,22 @@ from pyspark.sql import functions as F
 
 
 def tokens_col(text: Column | str) -> Column:
-    """lower → whitespace-split → drop empties."""
+    """lower → whitespace-split → drop empties.
+
+    Pure codegen: `split` on `\\s+` can only produce empty strings at
+    the BOUNDARIES (interior runs are swallowed by the `+`), so
+    stripping leading/trailing whitespace first makes the post-split
+    empty-filter — an interpreted higher-order function evaluated per
+    element — unnecessary.  A whitespace-only/empty string maps to the
+    empty array (the filter form's result), NULL stays NULL (the
+    `when` condition is NULL, so the NULL-propagating split branch
+    runs).  Same Java regex `\\s` class throughout, so token sets are
+    byte-identical to the filter form (pinned by a differential
+    test)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+    base = F.regexp_replace(F.lower(c), r"^\s+|\s+$", "")
+    return F.when(base == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(base, r"\s+"))
 
 
 def apply_token_scale(n: Column, token_scale: int | None) -> Column:

@@ -98,7 +98,8 @@ def _top_run(sorted_arr) -> "F.Column":
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  passthrough: tuple = ()) -> DataFrame:
     """C4/Gopher-shaped quality gate: length saturation, stopword-ratio
     and mean-word-length bands, plus the Gopher REPETITION rules —
     duplicate-line fraction, duplicate-paragraph fraction, and the
@@ -118,8 +119,15 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     # bands duplicates each fold's tree per reference); (3) compute
     # the score from plain columns.  Measured ~10x end-to-end on the
     # training_mix gate stage.
+    # passthrough: extra input columns carried through the staged
+    # selects so a caller can enrich a frame IN PLACE — consecutive
+    # narrow projections fuse into one codegen stage, where the
+    # (id, metrics) form forces a join back to re-attach the metrics
+    # (mix.training_mix measured one fewer corpus traversal per
+    # enrichment stage this way)
+    pt = [F.col(p) for p in passthrough]
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    pre = docs.select(F.col(id_col), c.alias("__text"),
+    pre = docs.select(F.col(id_col), *pt, c.alias("__text"),
                       tokens_col(text_col).alias("__toks"))
     toks = F.col("__toks")
     n_words = F.size(toks)
@@ -144,7 +152,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
                         _top_run(F.array_sort(bigrams)) / n_bigrams) \
         .otherwise(0.0)
     base = pre.select(
-        F.col(id_col),
+        F.col(id_col), *pt,
         n_words.alias("n_words"),
         mean_len.alias("__mean_len"),
         stop_ratio.alias("__stop_ratio"),
@@ -164,7 +172,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
         + F.lit(0.2) * F.when(F.col("__top_bigram") <= 0.20, 1.0)
         .otherwise(0.0))
     return base.select(
-        F.col(id_col),
+        F.col(id_col), *pt,
         F.col("n_words"),
         F.round("__mean_len", 4).alias("mean_word_len"),
         F.round("__stop_ratio", 4).alias("stopword_ratio"),
@@ -218,7 +226,8 @@ def _profile_argmax(toks, langs):
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
+            text_col: str = "text",
+            passthrough: tuple = ()) -> DataFrame:
     """Two-stage language ID.  Returns (id, pred_lang, hits).
 
     1. Script gate: count codepoints per non-Latin script (CJK
@@ -246,8 +255,9 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     # tokens materialized once (each profile filter would re-split the
     # text), then the argmax folds and script counts materialized once
     # as base columns, then pred/hits computed from plain columns
+    pt = [F.col(p) for p in passthrough]  # see quality_score
     c0 = F.col(text_col) if isinstance(text_col, str) else text_col
-    pre = docs.select(F.col(id_col), c0.alias("__text"),
+    pre = docs.select(F.col(id_col), *pt, c0.alias("__text"),
                       tokens_col(text_col).alias("__toks"))
     c = F.col("__text")
     toks = F.col("__toks")
@@ -269,7 +279,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
             | ((s["cnt"] == acc["cnt"]) & (s["skey"] < acc["skey"])),
             s).otherwise(acc))
     base = pre.select(
-        F.col(id_col),
+        F.col(id_col), *pt,
         n_kana.alias("__kana"),
         n_latin.alias("__latin"),
         sbest.alias("__sb"),
@@ -295,7 +305,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     hits = (F.when(gated & (sb["skey"] == "cyrl"), cyr["hits"])
             .when(gated, sb["cnt"])
             .otherwise(best["hits"]))
-    return base.select(F.col(id_col),
+    return base.select(F.col(id_col), *pt,
                        pred.alias("pred_lang"),
                        hits.alias("hits"))
 

@@ -4353,9 +4353,11 @@ def _response_cands(spark, sf):
                     F.concat("extracted_text", F.lit("\n"),
                              "extracted_text").alias("text"))
     cands = c0.unionByName(c1).unionByName(c2).localCheckpoint()
-    scored = textstats.quality_score(cands, "cand_id", "text") \
-        .select("cand_id", "quality")
-    return cands.select("conv_id", "cand_id").join(scored, "cand_id")
+    # passthrough enrich: conv_id rides through the quality scan, so
+    # no join back against the candidate table is needed
+    return textstats.quality_score(cands, "cand_id", "text",
+                                   passthrough=("conv_id",)) \
+        .select("conv_id", "cand_id", "quality")
 
 
 _RESP_SCORED_SQL = (

@@ -263,6 +263,68 @@ def test_srp_signature_arrow_equals_expression_form(spark):
         .collect()[0].sig == "0" * 32
 
 
+def test_assign_arrow_equals_expression_form(spark, emb):
+    """The Arrow `_assign` (round-7: replaces k x dim interpreted HOF
+    cosine evals per vector) must be BIT-IDENTICAL to the expression
+    form — same left-to-right accumulation per (vector, centroid),
+    same first-max tie-break, NULL cluster for zero-norm vectors."""
+    from pyspark.sql import functions as F
+    cents = similarity.kmeans_centroids(emb, k=4, iters=1, dim=8)
+    q = emb.select("vec_id", similarity.quantized(
+        F.col("embedding")).alias("q"))
+    new = {r.vec_id: r.cluster
+           for r in similarity._assign(q, cents, dim=8, k=4).collect()}
+    old = {r.vec_id: r.cluster
+           for r in similarity._assign_expr(q, cents, dim=8,
+                                            k=4).collect()}
+    assert new == old and len(new) == 40
+    assert new[30] == new[9]       # identical vectors co-assign
+    # zero-norm vector: the expression form RAISES under ANSI (double
+    # division by zero); the Arrow form degrades to a NULL cluster
+    zq = spark.createDataFrame([(999, [0] * 8)],
+                               "vec_id long, q array<long>")
+    z = similarity._assign(zq, cents, dim=8, k=4).collect()
+    assert z[0].cluster is None
+
+
+def test_tokens_col_codegen_equals_filter_form(spark):
+    """The codegen tokens_col (strip-then-split, round-7) must equal
+    the historical filter-form semantics on every boundary case:
+    interior runs, tab/newline boundaries, whitespace-only, empty,
+    NULL, and non-\\s unicode spaces (NBSP is NOT Java \\s — it must
+    survive as a token character)."""
+    from batukh_spark.operators.text import tokens_col
+    rows = [(1, "a  b\tc\nd"), (2, "  lead"), (3, "trail   "),
+            (4, "\t\n  "), (5, ""), (6, None),
+            (7, " "), (8, "A B"), (9, " Mixed CASE  x "),
+            (10, "a\u00a0b"), (11, "\u00a0")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    legacy = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                      lambda x: x != "")
+    got = {r.doc_id: (r.new, r.old) for r in df.select(
+        "doc_id", tokens_col("text").alias("new"),
+        legacy.alias("old")).collect()}
+    for k, (new, old) in got.items():
+        assert new == old, (k, new, old)
+
+
+def test_simhash_arrow_equals_expression_form(spark):
+    """The Arrow simhash bit-voting (round-7) must equal the
+    expression form exactly — integer votes are order-independent, so
+    any divergence is a bug, including empty/NULL/whitespace docs
+    (all-'0' signature) and multi-token unicode."""
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, ""), (4, None), (5, "   "),
+            (6, "unicode tökens über straße élève"),
+            (7, "x"), (8, "a b c d e f g h i j k l m n o p")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    old = {r.doc_id: r.simhash for r in dedup.simhash_expr(df).collect()}
+    assert new == old
+    assert new[1] == new[2] and new[3] == "0" * 64 and new[4] == "0" * 64
+
+
 def test_cos_pairs_fast_null_on_zero_norm(spark):
     """fast-verify cosine must yield NULL (not NaN) for zero-norm
     pairs so the fast path's is_near_dup verdict matches the exact
