@@ -22,12 +22,56 @@ Everything is Catalyst expressions (split / transform / md5 / explode)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
-from batukh_spark.operators.text import tokens_col, word_shingles
+from batukh_spark.operators.text import tokens_col
 
 N_DECONTAM = 13     # n-gram length: GPT-3/PaLM-style 13-token overlap
+
+
+def gram_hashes(tokens: Column, n: int) -> Column:
+    """Positional md5 hashes of the n-token grams of a JVM-tokenized
+    array: element p is md5 of tokens[p..p+n-1] joined by single
+    spaces — one vectorized Arrow op per batch.
+
+    The expression form (md5 over word_shingles) builds each gram via
+    an interpreted higher-order transform whose lambda holds n
+    element_at references; besides interpreting ~n ops per position,
+    it is FRAGILE under projection collapse — when the optimizer
+    inlines the token array's expression tree into the lambda,
+    interpreted HOFs re-evaluate that free subtree PER POSITION
+    (re-tokenizing the document once per gram; measured seconds to
+    minutes depending on plan shape at n=13).  Tokens still come from
+    the JVM tokenizer, so this changes no text semantics; Python md5
+    over UTF-8 bytes and ' '.join are byte-identical to F.md5 /
+    concat_ws (pinned by a differential test incl. unicode).  Docs
+    with fewer than n tokens yield an empty array (explode drops them,
+    as the expression form's empty shingle array did); a NULL token
+    array yields NULL."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _gh(tks: pd.Series) -> pd.Series:
+        import hashlib
+        out = []
+        for tk in tks:
+            if tk is None:
+                out.append(None)
+                continue
+            m = len(tk)
+            if m < n:
+                out.append([])
+                continue
+            toks = list(tk)
+            out.append([
+                hashlib.md5(" ".join(toks[i:i + n]).encode("utf-8"))
+                .hexdigest() for i in range(m - n + 1)])
+        return pd.Series(out)
+
+    return _gh(tokens)
 
 
 def benchmark_ngrams(benchmark: DataFrame, n: int = N_DECONTAM,
@@ -35,11 +79,10 @@ def benchmark_ngrams(benchmark: DataFrame, n: int = N_DECONTAM,
     """Distinct md5'd n-token grams of the benchmark texts —
     (gram_hash).  Tiny: one 32-byte hash per distinct benchmark gram;
     callers broadcast it."""
-    grams = F.array_distinct(word_shingles(F.col("__tk"), n))
     return (benchmark
             .select(tokens_col(text_col).alias("__tk"))
-            .select(F.explode(grams).alias("g"))
-            .select(F.md5("g").alias("gram_hash"))
+            .select(F.explode(gram_hashes(F.col("__tk"), n))
+                    .alias("gram_hash"))
             .distinct())
 
 
@@ -63,9 +106,8 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                       tokens_col(text_col).alias("__tk"))
               .select(F.col(id_col),
                       F.explode(F.array_distinct(
-                          word_shingles(F.col("__tk"), n)))
-                      .alias("g"))
-              .select(F.col(id_col), F.md5("g").alias("gram_hash")))
+                          gram_hashes(F.col("__tk"), n)))
+                      .alias("gram_hash")))
     hits = (dgrams.join(F.broadcast(bgrams), "gram_hash")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("__n_hits")))
@@ -112,12 +154,12 @@ def decontaminate_spans(docs: DataFrame, benchmark: DataFrame,
     staged = (docs
               .select(F.col(id_col), tokens_col(text_col).alias("__tk"))
               .select(F.col(id_col),
-                      word_shingles(F.col("__tk"), n).alias("__gs")))
+                      gram_hashes(F.col("__tk"), n).alias("__gs")))
     hits = (staged
             .select(F.col(id_col),
                     F.posexplode(F.col("__gs")).alias("__p", "__g"))
             .select(F.col(id_col), (F.col("__p") + 1).alias("pos"),
-                    F.md5("__g").alias("gram_hash"))
+                    F.col("__g").alias("gram_hash"))
             .join(F.broadcast(bgrams), "gram_hash")
             .select(F.col(id_col), "pos"))
     w_doc = Window.partitionBy(id_col).orderBy("pos")
@@ -218,10 +260,8 @@ def split_leakage(rows: DataFrame, n: int = N_DECONTAM,
                         tokens_col(text_col).alias("__tk"))
                 .select(F.col(id_col), F.col(split_col),
                         F.explode(F.array_distinct(
-                            word_shingles(F.col("__tk"), n)))
-                        .alias("g"))
-                .select(F.col(id_col), F.col(split_col),
-                        F.md5("g").alias("gram_hash")))
+                            gram_hashes(F.col("__tk"), n)))
+                        .alias("gram_hash")))
 
     is_train = F.col(split_col) == train_split
     tgrams = (grams(rows.filter(is_train))

@@ -6,8 +6,11 @@ All Catalyst expressions; the DuckDB oracle reproduces every value.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from batukh_spark.operators.text import char_grams_md5, tokens_col
 
@@ -338,7 +341,11 @@ def _winnow_rows(docs: DataFrame, id_col: str, text_col: str,
     higher-order lambdas are INTERPRETED per element, while this shape
     keeps every md5 and comparison inside codegen.  Cost: one shuffle
     of (id, 32B hash, int pos) for the window — which every downstream
-    consumer needs co-located by id anyway."""
+    consumer needs co-located by id anyway.  (Round 7 measured an
+    Arrow per-doc rewrite — Python md5 per char gram + deque window —
+    at 1.5x SLOWER than this codegen shape on the bench corpus; the
+    ~10M-row explode+window is cheaper than 10M hashlib calls, so the
+    codegen form stays.)"""
     from pyspark.sql import Window
     c = F.col(text_col)
     base = docs.select(F.col(id_col), c.alias("__t"),
