@@ -7,10 +7,15 @@ out of it without ever inferring schema from data (schema_of_json over
 without dropping malformed rows silently.
 
 The reference's ignore_errors contract is counted-not-dropped
-(/root/reference/batukh/utils/data/base_dataset.py — decode errors
-surface as counted nulls, never silent row loss); the same contract
-applies here: a malformed JSON value yields NULL extracted fields plus
-a per-row `malformed` flag the caller can aggregate.
+(/root/reference/batukh/tensorflow/utils/data/dataloader.py:47,176 —
+decode errors surface as counted nulls, never silent row loss); the
+same contract applies here: a malformed JSON value yields NULL
+extracted fields plus a per-row `malformed` flag the caller can
+aggregate.  Type-mismatch semantics: a syntactically valid JSON whose
+field fails the declared type (e.g. a string where a bigint is
+declared) is COUNTED AS MALFORMED — Spark's PERMISSIVE from_json sets
+the corrupt-record column for it, and the oracle SQL's try_cast path
+is aligned with that verdict on the checked corpora.
 """
 
 from __future__ import annotations

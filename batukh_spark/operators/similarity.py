@@ -717,9 +717,14 @@ def embedding_keep_set(emb: DataFrame, n_bits: int = 32,
     REPRESENTATIVE before the LSH chain (identical vectors have
     identical signatures, so components over reps == components over
     all vectors restricted, and a component's min id is always a
-    rep — verdicts are IDENTICAL to running LSH over the full corpus
-    while the band self-join and cluster propagation see one vector
-    per distinct embedding); candidate generation is bucketed
+    rep — verdicts equal running LSH over the full corpus while the
+    band self-join and cluster propagation see one vector per distinct
+    embedding.  Caveat: "identical" is defined at the 1e-6 quantized
+    resolution of vec_hash, while signatures/cosines use the raw
+    floats — two vectors equal at 1e-6 but unequal in the last float
+    bits could in principle sign-flip a near-boundary SRP bit or a
+    cosine rounding and diverge from a full-corpus run; no checked
+    corpus exhibits this); candidate generation is bucketed
     (srp_candidate_pairs — never all-pairs); the verify join ships
     vectors for candidates only; min-label propagation shuffles only
     the candidate-graph edges.  Degenerate vectors (NULL / NaN / zero)
