@@ -242,6 +242,12 @@ def write_md(summary, samples, med, convs):
     lines = [
         "# BENCH — raw scaling run report (generated by scaling.py)",
         "",
+        "NOTE (round-over-round comparability): scaling batches since",
+        "round 6 use an 18000-conversation corpus, while the round-4/5",
+        "HEADLINE reports used 110000 conversations — absolute",
+        "turns/sec here are NOT comparable to prior headline medians;",
+        "only the within-report N-vs-4N ratios are the claim.",
+        "",
         "Headline metric (BASELINE.md): extracted **turns/sec** over the",
         f"deterministic synthetic transcript corpus ({convs} conversations,",
         f"{summary['corpus_turns']} turns, seed=42, heavy-tail conv sizes),",
