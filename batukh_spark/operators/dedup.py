@@ -293,8 +293,14 @@ def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     explode.
     """
     rows_per_band = bits // n_bands
+    # materialize the signature table ONCE: the band self-join consumes
+    # it on both sides, and no ReusedExchange fires across the Arrow
+    # vote projection (plan-verified: two ArrowEvalPython nodes before,
+    # one signature job after) — each side would re-tokenize and
+    # re-hash the corpus.  The checkpoint is (id, 64-char sig) rows,
+    # metadata-sized at any corpus scale.
     sigs = simhash(docs.filter(F.size(tokens_col(text_col)) > 0),
-                   id_col, text_col, bits)
+                   id_col, text_col, bits).localCheckpoint()
     band_cols = [F.substring("simhash", b * rows_per_band + 1,
                              rows_per_band) for b in range(n_bands)]
     # the full signature rides through the explode (64 bytes/row) so

@@ -446,6 +446,14 @@ def duplicated_passage_spans(docs: DataFrame, id_col: str = "doc_id",
     derive+rank over per-page predictions (K7,
     /root/reference/batukh/torch/segmenter.py:541-554)."""
     from pyspark.sql import Window
+    # NOT checkpointed deliberately: the df filter and the hits join
+    # both consume fps and no ReusedExchange fires, so the winnow
+    # subtree appears twice in the plan — but a round-7 interleaved A/B
+    # (7 reps each) measured the checkpointed form SLOWER (2.11 s vs
+    # 1.64 s median on the sf0.1 spans query; a wash on cut_passages):
+    # the duplicate subtrees schedule as parallel stages on idle cores,
+    # while a checkpoint serializes materialization before any
+    # consumer starts.
     fps = _winnow_fps_pos(docs, id_col, text_col, k, w)
     sharing = (fps.select(F.col(id_col), "fp").distinct()
                .groupBy("fp")

@@ -2975,10 +2975,14 @@ def epoch_order_q(spark, sf):
                                              pack_sequences)
     chunks = chunk_documents(t_spread(spark, sf, "documents"),
                              max_tokens=64, overlap=8)
+    # localCheckpoint: seqs feeds BOTH the rank computation and the
+    # final join base — without it the pieces Generate + groupBy
+    # subtree re-executes per consumer (plan-verified)
     seqs = (pack_sequences(chunks, seq_len=256)
             .groupBy("seq_id")
             .agg(F.sum(F.col("tok_end") - F.col("tok_begin"))
-                 .cast("long").alias("n_tokens")))
+                 .cast("long").alias("n_tokens"))
+            .localCheckpoint())
     ranks = epoch_order(seqs, epoch=7)
     return seqs.join(ranks, "seq_id").select(
         "seq_id", "n_tokens", "epoch_rank")
