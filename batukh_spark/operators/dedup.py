@@ -114,10 +114,14 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     band bucket become a candidate pair.  The self-join shuffles only
     (band_id, band_hash, id).
     """
-    # the groupBy inside minhash_signature ends in an exchange on id_col;
-    # the self-join's two sides share that identical subplan, so
-    # ReuseExchange computes signatures exactly once per row
-    sigs = minhash_signature(docs, id_col, text_col, n_hashes)
+    # materialize the signature table ONCE: the band self-join consumes
+    # it on both sides, and the round-7 plan sweep showed BOTH shingle-
+    # explode subtrees in the physical plan (no ReusedExchange fired,
+    # contrary to the earlier assumption here).  Interleaved A/B at
+    # sf0.1: pairs 1.13 -> 1.03 s, full keep_set 2.93 -> 2.69 s median.
+    # The checkpoint is n_hashes x 32 B + id per doc — metadata-sized.
+    sigs = minhash_signature(docs, id_col, text_col, n_hashes) \
+        .localCheckpoint()
     bands = minhash_bands(sigs, id_col, n_hashes, n_bands)
     left = bands.alias("a")
     right = bands.alias("b")
@@ -149,9 +153,19 @@ def resolve_clusters(pairs: DataFrame, id_a: str = "id_a",
     propagation hasn't converged by max_iters rather than returning a
     silently-partial clustering.
     """
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .unionByName(pairs.select(F.col(id_b).alias("src"),
-                                       F.col(id_a).alias("dst")))
+    # symmetrize via ONE explode pass, not a two-arm union: the union
+    # form re-executed the whole upstream candidate-generation DAG
+    # (e.g. the LSH band self-join) once PER ARM during edge
+    # materialization — no subtree reuse fires across union branches
+    # (round-7 plan sweep; interleaved A/B on keep_set 2.87 -> 2.77 s
+    # at sf0.1, and at scale the candidate join is the dominant stage
+    # so running it once instead of twice is the real win)
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col(id_a).alias("src"),
+                          F.col(id_b).alias("dst")),
+                 F.struct(F.col(id_b).alias("src"),
+                          F.col(id_a).alias("dst")))).alias("__e"))
+             .select("__e.src", "__e.dst")
              .distinct()
              # materialize ONCE: every propagation round joins edges,
              # and without this each round re-executes the whole

@@ -593,7 +593,11 @@ select doc_id, reason = 'unique' as keep, reason from verdict
 
 def simhash_adjacent_hamming(spark, sf):
     docs = t_spread(spark, sf, "documents")
-    sigs = dedup.simhash(docs)
+    # localCheckpoint: both self-join sides consume sigs and no
+    # ReusedExchange fires across the Arrow vote projection, so the
+    # signature would be computed twice (interleaved A/B: 1.28 s ->
+    # 1.00 s median at sf0.1) — same fix as simhash_candidate_pairs
+    sigs = dedup.simhash(docs).localCheckpoint()
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
