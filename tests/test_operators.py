@@ -436,6 +436,22 @@ def test_resolve_clusters_chain_and_clique(spark):
                    12: (10, False), 20: (20, True), 21: (20, False)}
 
 
+def test_resolve_clusters_symmetrize_dedups(spark):
+    """The one-pass explode symmetrization (round 7: replaces the
+    two-arm union that re-ran the candidate DAG per arm) must still
+    dedupe repeated and reversed input pairs and be direction-
+    insensitive — (1,2) given twice plus (2,1) is ONE edge both ways,
+    and a pair given only in descending order still clusters."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1),   # repeated + reversed -> cluster 1
+         (6, 5)],                  # descending only -> cluster 5
+        "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.is_keeper)
+           for r in dedup.resolve_clusters(pairs).collect()}
+    assert out == {1: (1, True), 2: (1, False),
+                   5: (5, True), 6: (5, False)}
+
+
 def test_fast_ivf_assignment_equals_exact(spark):
     """The numpy bulk-assignment path must agree with the bit-exact
     oracle form on real testdata (argmax ties at float-rounding scale
