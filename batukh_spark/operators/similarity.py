@@ -746,9 +746,16 @@ def embedding_keep_set(emb: DataFrame, n_bits: int = 32,
     exact = hashes.groupBy("__vh").agg(F.min(id_col).alias("keep_id"))
     with_exact = hashes.join(exact, "__vh") \
         .select(F.col(id_col), F.col("keep_id"))
+    # materialize reps ONCE: the verify join inside srp_near_dup_pairs
+    # consumes the rep vectors on BOTH sides, and each side would
+    # re-run the exact groupBy + vector-carrying semi-join (round-7
+    # interleaved A/B: 6.65 -> 6.21 s median on the sf0.1 registry
+    # corpus; at scale this trades one rep-vector materialization for
+    # two full vector shuffles).
     reps = (vecsh.select(F.col(id_col), F.col("__e"))
             .join(exact.select(F.col("keep_id").alias(id_col)),
-                  id_col, "left_semi"))
+                  id_col, "left_semi")
+            .localCheckpoint())
     pairs = (srp_near_dup_pairs(reps, n_bits=n_bits, n_bands=n_bands,
                                 dim=dim, threshold=threshold,
                                 id_col=id_col, vec_col="__e",
