@@ -391,6 +391,14 @@ def packed_loss_masks(turns: DataFrame, seq_len: int = 256,
         F.col(id_col), F.col(order_col), role_.alias("role"),
         ntext.cast("long").alias("__ntext"),
         (ntext + 1).cast("long").alias("__ptoks"))
+    # NOT checkpointed deliberately: pt is consumed twice (offsets
+    # window + conversation totals), so the tokenize projection runs
+    # once per consumer — but an interleaved A/B at sf0.1 measured the
+    # checkpointed form a wash-to-slightly-slower (4.72 vs 4.82 s
+    # median over 7 pairs): the duplicate is int-only, scan-local and
+    # parallel, while a checkpoint serializes materialization before
+    # either consumer starts (same finding as incremental_keep_set's
+    # new-side and the winnow fps frame).
     w = (Window.partitionBy(id_col).orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     off = pt.withColumn(
